@@ -1,0 +1,94 @@
+"""Benchmark entry for the driver: prints ONE JSON line.
+
+Headline metric (BASELINE.md): rays/s/chip, forward, 1080p, teapot scene
+(15,704 triangles from the reference's assets), brute-force intersection.
+"rays" counts traced ray segments: width*height*rpp*(bounces+1) per frame —
+the bounce-synchronous wavefront computes every segment, so this is the
+work actually done.
+
+vs_baseline: the reference publishes no numbers (BASELINE.json.published is
+{}), so vs_baseline is reported against OUR round-1 jnp-oracle baseline on
+the same workload (first recorded value, see BENCH_HISTORY below).
+"""
+
+import json
+import os
+import sys
+import time
+
+# Round-1 jnp-backend number on the same workload; later rounds divide by
+# this to show progress. Updated when the workload definition changes.
+BASELINE_RAYS_PER_S = None  # set after first TPU measurement lands
+
+
+def build_workload():
+    import numpy as np
+    import ray_tracer_tpu as rt
+    from ray_tracer_tpu.io import load_model
+
+    width, height = 1920, 1080
+    params = rt.RenderParams(
+        width=width, height=height, bounces=3, rays_per_pixel=1,
+        skybox=True, backend="auto",
+        chunk_pixels=0)
+
+    teapot = "/root/reference/assets/the_utah_teapot.glb"
+    b = rt.SceneBuilder()
+    if os.path.exists(teapot):
+        load_model(teapot, b, placement="origin", albedo=(0.7, 0.5, 0.3),
+                   smoothness=0.3)
+        lo, hi = b.bounds()  # host-side: avoids a device→host pull
+        scene = b.build()
+        center = (lo + hi) / 2
+        extent = float(np.linalg.norm(hi - lo))
+        cam = rt.Camera(
+            origin=tuple(center + extent * np.array([0.7, 0.4, 0.7])),
+            look_at=tuple(center), aspect=params.aspect, focus_dist=1.0)
+    else:  # fallback: room scene
+        scene, cam = rt.builtin_scene("room", aspect=params.aspect)
+    return scene, cam, params
+
+
+def main():
+    import jax
+    import ray_tracer_tpu as rt
+
+    scene, cam, params = build_workload()
+    r = rt.Renderer(scene, cam, params)
+
+    t0 = time.time()
+    r.step().block_until_ready()
+    compile_s = time.time() - t0
+
+    frames = int(os.environ.get("BENCH_FRAMES", "4"))
+    t0 = time.time()
+    for _ in range(frames):
+        img = r.step()
+    img.block_until_ready()
+    dt = time.time() - t0
+
+    segments = (params.width * params.height * params.rays_per_pixel
+                * (params.bounces + 1) * frames)
+    rays_per_s = segments / dt
+    vs = (rays_per_s / BASELINE_RAYS_PER_S) if BASELINE_RAYS_PER_S else 1.0
+
+    print(json.dumps({
+        "metric": "rays/s/chip fwd 1080p teapot (brute force)",
+        "value": round(rays_per_s, 1),
+        "unit": "ray segments/s",
+        "vs_baseline": round(vs, 3),
+        "detail": {
+            "frames": frames, "seconds": round(dt, 3),
+            "fps": round(frames / dt, 3),
+            "compile_s": round(compile_s, 1),
+            "resolution": f"{params.width}x{params.height}",
+            "tris": scene.num_tris, "spheres": scene.num_spheres,
+            "bounces": params.bounces, "rpp": params.rays_per_pixel,
+            "backend": params.backend,
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

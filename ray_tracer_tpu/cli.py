@@ -1,0 +1,135 @@
+"""Command-line interface: render / benchmark / info.
+
+The reference binary takes no arguments (src/main.rs:3-6) and exposes its
+knobs through an imgui overlay (src/core/context.rs:230-258); headless-first
+on TPU, the same knob set becomes flags. Scenes are the reference's four
+built-ins by name or id (src/core/context.rs:261-279) or a model file loaded
+into a studio scene.
+
+    python -m ray_tracer_tpu render --scene metal --frames 64 -o out.png
+    python -m ray_tracer_tpu render --model /path/teapot.glb -o teapot.png
+    python -m ray_tracer_tpu benchmark --scene room --width 800 --height 800
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+from . import Camera, RenderParams, Renderer, SceneBuilder, builtin_scene
+from .io import load_model, write_npy, write_png
+
+
+def _add_common(p):
+    p.add_argument("--scene", default="balls",
+                   help="builtin scene name or id (balls|random_balls|room|metal|0-3)")
+    p.add_argument("--model", default=None,
+                   help="OBJ/glTF/GLB file rendered in a studio scene instead")
+    p.add_argument("--width", type=int, default=800)
+    p.add_argument("--height", type=int, default=800)
+    p.add_argument("--bounces", type=int, default=3)
+    p.add_argument("--rays-per-pixel", type=int, default=1)
+    p.add_argument("--skybox", action="store_true")
+    p.add_argument("--no-accumulate", action="store_true")
+    p.add_argument("--backend", default="auto", choices=["auto", "jnp", "pallas"])
+    p.add_argument("--chunk-pixels", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0, help="random_balls scene seed")
+
+
+def _build(args):
+    params = RenderParams(
+        width=args.width, height=args.height, bounces=args.bounces,
+        rays_per_pixel=args.rays_per_pixel, skybox=args.skybox,
+        accumulate=not args.no_accumulate, backend=args.backend,
+        chunk_pixels=args.chunk_pixels)
+    if args.model:
+        import numpy as _np
+        b = SceneBuilder()
+        load_model(args.model, b, placement="origin")
+        lo, hi = b.bounds()  # host-side: avoids a device→host pull
+        scene = b.build()
+        center, extent = (lo + hi) / 2, float(_np.linalg.norm(hi - lo))
+        cam = Camera(origin=tuple(center + extent * _np.array([0.8, 0.5, 0.8])),
+                     look_at=tuple(center), aspect=params.aspect,
+                     focus_dist=1.0)
+    else:
+        name = int(args.scene) if args.scene.isdigit() else args.scene
+        kw = {"seed": args.seed} if name in ("random_balls", 1) else {}
+        scene, cam = builtin_scene(name, aspect=params.aspect, **kw)
+    return scene, cam, params
+
+
+def cmd_render(args):
+    scene, cam, params = _build(args)
+    r = Renderer(scene, cam, params)
+    t0 = time.time()
+    for i in range(args.frames):
+        img = r.step()
+    img.block_until_ready()
+    dt = time.time() - t0
+    print(f"rendered {args.frames} frame(s) at {params.width}x{params.height} "
+          f"in {dt:.2f}s ({args.frames / dt:.2f} fps)", file=sys.stderr)
+    if args.output.endswith(".npy"):
+        write_npy(args.output, img)
+    else:
+        write_png(args.output, img)
+    print(f"wrote {args.output}", file=sys.stderr)
+
+
+def cmd_benchmark(args):
+    scene, cam, params = _build(args)
+    r = Renderer(scene, cam, params)
+    r.step().block_until_ready()  # compile + warmup
+    t0 = time.time()
+    for _ in range(args.frames):
+        img = r.step()
+    img.block_until_ready()
+    dt = time.time() - t0
+    segments = (params.width * params.height * params.rays_per_pixel
+                * (params.bounces + 1) * args.frames)
+    print(json.dumps({
+        "metric": "rays/s", "value": segments / dt, "unit": "ray segments/s",
+        "frames": args.frames, "seconds": dt, "fps": args.frames / dt,
+        "resolution": f"{params.width}x{params.height}",
+        "spheres": scene.num_spheres, "tris": scene.num_tris,
+    }))
+
+
+def cmd_info(args):
+    import jax
+    print(json.dumps({
+        "jax": jax.__version__,
+        "devices": [str(d) for d in jax.devices()],
+        "default_backend": jax.default_backend(),
+    }, indent=2))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="ray_tracer_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("render", help="render a scene to PNG/NPY")
+    _add_common(p)
+    p.add_argument("--frames", type=int, default=1,
+                   help="progressive frames to accumulate")
+    p.add_argument("-o", "--output", default="out.png")
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("benchmark", help="measure rays/s")
+    _add_common(p)
+    p.add_argument("--frames", type=int, default=8)
+    p.set_defaults(fn=cmd_benchmark)
+
+    p = sub.add_parser("info", help="print device info")
+    p.set_defaults(fn=cmd_info)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,210 @@
+"""Closest-hit intersection: pure-jnp oracle + backend dispatch.
+
+The reference's intersection is a per-thread linear scan over all spheres
+then all mesh triangles, keeping the closest hit
+(shaders/ray_tracer.wgsl:149-185; sphere test :106-123, Möller–Trumbore
+:125-147). Here the same brute force is expressed as a two-stage design:
+
+  1. ``nearest_hit``: rays × primitives closest-hit search → per-ray
+     ``(t, prim_id)``. Discrete, non-differentiable by construction (inputs
+     are detached). Backends: readable broadcast jnp (the oracle) or a
+     Pallas MXU kernel (ops/pallas_intersect.py).
+  2. ``hit_attributes``: gathers ONLY the winning primitive per ray and
+     recomputes t / normal / material *differentiably*. O(rays), pure jnp.
+
+This split is what makes the whole renderer differentiable without a custom
+VJP through the search: the argmin index is detached (the standard
+"detach discrete choices" treatment) while every continuous quantity is
+recomputed from gathered primitive parameters, so gradients flow to sphere
+centers/radii, triangle vertices, and material fields via the gather's
+scatter-add transpose.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..scene import Scene
+
+TRI_DET_EPS = 1e-6  # back-face / parallel cutoff (shaders/ray_tracer.wgsl:140)
+INF = jnp.float32(jnp.inf)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Hit:
+    """Per-ray hit record (SoA analog of the WGSL Hit struct, wgsl:91-97)."""
+
+    t: jax.Array                  # (R,)
+    hit: jax.Array                # (R,) bool
+    point: jax.Array              # (R, 3)
+    normal: jax.Array             # (R, 3) unit, outward (never flipped —
+                                  # matches wgsl sphere/tri normals)
+    albedo: jax.Array             # (R, 3)
+    emission: jax.Array           # (R, 3)
+    emission_strength: jax.Array  # (R,)
+    smoothness: jax.Array         # (R,)
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: closest-hit search (oracle backend)
+# ---------------------------------------------------------------------------
+
+def sphere_ts(scene: Scene, o, d, t_min):
+    """All ray-sphere hit distances, +inf on miss. (R, S).
+
+    Near-root-only quadratic, exactly like wgsl:106-123 (no far root, no
+    outward-normal flip), plus the t_min epsilon (deviation D2).
+    """
+    oc = o[:, None, :] - scene.sphere_center[None, :, :]        # (R, S, 3)
+    a = jnp.sum(d * d, axis=-1)[:, None]                         # (R, 1)
+    b = 2.0 * jnp.sum(oc * d[:, None, :], axis=-1)               # (R, S)
+    c = jnp.sum(oc * oc, axis=-1) - scene.sphere_radius[None, :] ** 2
+    disc = b * b - 4.0 * a * c
+    t = (-b - jnp.sqrt(jnp.maximum(disc, 0.0))) / (2.0 * a)
+    valid = (disc >= 0.0) & (t >= t_min) & (scene.sphere_valid[None, :] > 0.5)
+    return jnp.where(valid, t, INF)
+
+
+def triangle_ts(scene: Scene, o, d, t_min):
+    """All ray-triangle hit distances, +inf on miss. (R, T).
+
+    Möller–Trumbore in the cross/determinant form of wgsl:125-147: accepts
+    det >= 1e-6 (back-face culled) and u, v, w >= 0.
+    """
+    e1 = scene.tri_v1 - scene.tri_v0                             # (T, 3)
+    e2 = scene.tri_v2 - scene.tri_v0
+    n = jnp.cross(e1, e2)                                        # (T, 3)
+    ao = o[:, None, :] - scene.tri_v0[None, :, :]                # (R, T, 3)
+    dao = jnp.cross(ao, d[:, None, :])                           # (R, T, 3)
+    det = -jnp.sum(d[:, None, :] * n[None, :, :], axis=-1)       # (R, T)
+    inv = 1.0 / det
+    t = jnp.sum(ao * n[None, :, :], axis=-1) * inv
+    u = jnp.sum(e2[None, :, :] * dao, axis=-1) * inv
+    v = -jnp.sum(e1[None, :, :] * dao, axis=-1) * inv
+    w = 1.0 - u - v
+    valid = (
+        (det >= TRI_DET_EPS) & (t >= t_min)
+        & (u >= 0.0) & (v >= 0.0) & (w >= 0.0)
+        & (scene.tri_valid[None, :] > 0.5)
+    )
+    return jnp.where(valid, t, INF)
+
+
+def nearest_hit_jnp(scene: Scene, o, d, t_min):
+    """Oracle closest-hit: returns (t (R,), prim_id (R,) int32).
+
+    prim_id in [0, S_pad) = sphere index; [S_pad, S_pad+T_pad) = triangle
+    index + S_pad; t = +inf encodes a miss.
+    """
+    ts = sphere_ts(scene, o, d, t_min)
+    tt = triangle_ts(scene, o, d, t_min)
+    all_t = jnp.concatenate([ts, tt], axis=1)
+    prim_id = jnp.argmin(all_t, axis=1).astype(jnp.int32)
+    best_t = jnp.min(all_t, axis=1)
+    return best_t, prim_id
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: differentiable winner recompute
+# ---------------------------------------------------------------------------
+
+def _safe_normalize(v, eps=1e-24):
+    """Normalize with NaN-free gradients at ||v|| → 0 (double-where on the
+    squared norm so the backward of rsqrt never sees 0)."""
+    sq = jnp.sum(v * v, axis=-1, keepdims=True)
+    ok = sq > eps
+    inv = jax.lax.rsqrt(jnp.where(ok, sq, 1.0))
+    return jnp.where(ok, v * inv, v)
+
+def hit_attributes(scene: Scene, o, d, prim_id, miss, t_min):
+    """Gather the winning primitive and recompute the hit differentiably.
+
+    Args:
+      scene: Scene pytree (differentiable leaves).
+      o, d: ray origins/dirs (R, 3).
+      prim_id: winner indices from stage 1 (detached ints).
+      miss: (R,) bool, True where no primitive was hit.
+      t_min: epsilon (only used to keep recomputed t consistent).
+
+    Returns: Hit.
+    """
+    S = scene.padded_spheres
+    is_tri = prim_id >= S
+    sidx = jnp.clip(prim_id, 0, S - 1)
+    tidx = jnp.clip(prim_id - S, 0, scene.padded_tris - 1)
+
+    # --- sphere recompute (wgsl:106-123) ---------------------------------
+    # NaN-safe for autodiff: lanes that actually missed (masked downstream)
+    # still run this recompute, and d/dx sqrt(max(x,0)) at x<=0 is inf*0=NaN
+    # which `where` masking does NOT stop in the backward pass. The standard
+    # double-where makes the untaken branch differentiate a benign constant.
+    c = scene.sphere_center[sidx]
+    r = scene.sphere_radius[sidx]
+    oc = o - c
+    a = jnp.sum(d * d, axis=-1)
+    b = 2.0 * jnp.sum(oc * d, axis=-1)
+    cc = jnp.sum(oc * oc, axis=-1) - r * r
+    disc = b * b - 4.0 * a * cc
+    disc_ok = disc > 0.0
+    safe_disc = jnp.where(disc_ok, disc, 1.0)
+    t_sphere = (-b - jnp.where(disc_ok, jnp.sqrt(safe_disc), 0.0)) / (2.0 * a)
+    p_sphere = o + d * t_sphere[:, None]
+    n_sphere = _safe_normalize(p_sphere - c)
+
+    # --- triangle recompute (wgsl:125-147) --------------------------------
+    v0, v1, v2 = scene.tri_v0[tidx], scene.tri_v1[tidx], scene.tri_v2[tidx]
+    n0, n1, n2 = scene.tri_n0[tidx], scene.tri_n1[tidx], scene.tri_n2[tidx]
+    e1, e2 = v1 - v0, v2 - v0
+    ng = jnp.cross(e1, e2)
+    ao = o - v0
+    dao = jnp.cross(ao, d)
+    det = -jnp.sum(d * ng, axis=-1)
+    inv = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    t_tri = jnp.sum(ao * ng, axis=-1) * inv
+    u = jnp.sum(e2 * dao, axis=-1) * inv
+    v = -jnp.sum(e1 * dao, axis=-1) * inv
+    w = 1.0 - u - v
+    n_blend = n0 * w[:, None] + n1 * u[:, None] + n2 * v[:, None]
+    n_tri = _safe_normalize(n_blend)
+
+    # --- select ------------------------------------------------------------
+    it = is_tri[:, None]
+    t = jnp.where(is_tri, t_tri, t_sphere)
+    normal = jnp.where(it, n_tri, n_sphere)
+    point = o + d * t[:, None]
+    albedo = jnp.where(it, scene.tri_albedo[tidx], scene.sphere_albedo[sidx])
+    emission = jnp.where(it, scene.tri_emission[tidx], scene.sphere_emission[sidx])
+    emission_strength = jnp.where(
+        is_tri, scene.tri_emission_strength[tidx], scene.sphere_emission_strength[sidx])
+    smoothness = jnp.where(
+        is_tri, scene.tri_smoothness[tidx], scene.sphere_smoothness[sidx])
+
+    hit = jnp.logical_not(miss)
+    return Hit(
+        t=t, hit=hit, point=point, normal=normal, albedo=albedo,
+        emission=emission, emission_strength=emission_strength,
+        smoothness=smoothness,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dispatch
+# ---------------------------------------------------------------------------
+
+def intersect(scene: Scene, o, d, t_min=1e-4, backend: str = "jnp") -> Hit:
+    """Full closest-hit query → Hit. ``backend``: "jnp" | "pallas" | "auto"."""
+    if backend == "auto":
+        backend = "pallas" if jax.devices()[0].platform == "tpu" else "jnp"
+    o_s, d_s = jax.lax.stop_gradient(o), jax.lax.stop_gradient(d)
+    scene_s = jax.lax.stop_gradient(scene)
+    if backend == "pallas":
+        from .pallas_intersect import nearest_hit_pallas
+        best_t, prim_id = nearest_hit_pallas(scene_s, o_s, d_s, t_min)
+    else:
+        best_t, prim_id = nearest_hit_jnp(scene_s, o_s, d_s, t_min)
+    miss = jnp.isinf(best_t)
+    return hit_attributes(scene, o, d, prim_id, miss, t_min)

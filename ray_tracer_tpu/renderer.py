@@ -1,0 +1,224 @@
+"""Wavefront path tracer: bounce-synchronous trace loop + progressive frames.
+
+TPU-native replacement for the reference's per-pixel megakernel
+(shaders/ray_tracer.wgsl:229-327) and the host frame orchestrator
+(src/core/context.rs). Instead of one divergent thread per pixel, ALL rays
+advance one bounce per step of a ``lax.scan`` (bounce-synchronous wavefront):
+each step is one giant intersection launch (MXU-friendly, see ops/) plus
+masked elementwise shading. Dead rays are masked lanes — the reference's
+``break`` on miss (wgsl:278) becomes an ``alive`` mask; the environment
+contribution is added exactly once at the step a ray dies.
+
+Radiance recurrence per bounce (wgsl:236-273):
+    incoming   += emission * strength * throughput      (on hit)
+    throughput *= albedo                                 (on hit; dielectric
+                                                          forces white)
+    incoming   += env(d) * throughput                    (on miss, skybox on)
+
+Progressive accumulation follows wgsl:59-66 / context.rs:176-187:
+    frame >= 1:  image = image * (1 - w) + frame_img * w,  w = 1/(frame + 1)
+    else:        image = frame_img
+with the host-side reset-to--1 semantics of ``clear_accumulation``
+(src/core/context.rs:143-146).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import materials, sampling
+from .camera import Camera, CameraBasis, camera_basis, camera_rays
+from .envlight import environment_light
+from .ops.intersect import intersect
+from .scene import Scene
+from .utils.config import RenderParams
+
+
+def trace(scene: Scene, o, d, state, params: RenderParams):
+    """Trace a wavefront of rays to completion.
+
+    Args:
+      scene: Scene pytree.
+      o, d: (R, 3) ray origins / (unnormalized) directions.
+      state: (R,) uint32 RNG states.
+      params: static RenderParams.
+
+    Returns: (state, radiance (R, 3)).
+    """
+    # Initial carries are derived from the ray arrays (o * 0) rather than
+    # fresh constants so that under shard_map they inherit the rays'
+    # varying-axes type (lax.scan requires carry-in/out types to match);
+    # XLA constant-folds the arithmetic.
+    zero3 = o * 0.0
+    init = (
+        o, d,
+        zero3 + 1.0,                      # throughput (ray_color, wgsl:231)
+        zero3,                            # incoming light
+        zero3[:, 0] == 0.0,               # alive (all True)
+        state,
+    )
+
+    def bounce(carry, _):
+        o, d, throughput, incoming, alive, state = carry
+        h = intersect(scene, o, d, t_min=params.t_min, backend=params.backend)
+        active_hit = alive & h.hit
+        active_miss = alive & ~h.hit
+
+        # Scatter every lane (branchless); only active-hit lanes keep results.
+        state, new_dir, is_dielectric = materials.scatter(
+            state, d, h.normal, h.smoothness)
+
+        # Dielectric forces white albedo (wgsl:241).
+        albedo = jnp.where(is_dielectric[:, None], 1.0, h.albedo)
+
+        emitted = h.emission * h.emission_strength[:, None]
+        incoming = incoming + jnp.where(
+            active_hit[:, None], emitted * throughput, 0.0)
+        throughput = jnp.where(active_hit[:, None], throughput * albedo, throughput)
+
+        if params.skybox:
+            incoming = incoming + jnp.where(
+                active_miss[:, None], environment_light(d) * throughput, 0.0)
+
+        o = jnp.where(active_hit[:, None], h.point, o)
+        d = jnp.where(active_hit[:, None], new_dir, d)
+        alive = active_hit
+        return (o, d, throughput, incoming, alive, state), None
+
+    # Inclusive loop: bounces+1 segments, matching `i <= number_of_bounces`
+    # (wgsl:233; SURVEY quirk Q3 — kept, it defines the reference's look).
+    (o, d, throughput, incoming, alive, state), _ = jax.lax.scan(
+        bounce, init, None, length=params.bounces + 1)
+    return state, incoming
+
+
+def render_pixels(scene: Scene, basis: CameraBasis, params: RenderParams,
+                  frame_index, pixel_ids):
+    """Render a flat array of pixel ids → (N, 3) radiance.
+
+    ``pixel_ids`` is the flattened pixel index (y * W + x, y=0 bottom row);
+    taking it as an argument (instead of iota) is what lets shard_map hand
+    each device its own tile with zero code changes (parallel/shard.py).
+    """
+    W, H = params.width, params.height
+    x = (pixel_ids % W)
+    y = (pixel_ids // W)
+    state = sampling.seed_state(pixel_ids, jnp.abs(frame_index))
+
+    def sample(carry, _):
+        state, total = carry
+        st, o, d = camera_rays(basis, x, y, (W, H), state)
+        st, rad = trace(scene, o, d, st, params)
+        return (st, total + rad), None
+
+    # total starts as a function of pixel_ids (varying under shard_map);
+    # see the matching note in trace().
+    total0 = jnp.zeros((pixel_ids.shape[0], 3), jnp.float32) * pixel_ids.astype(jnp.float32)[:, None]
+    init = (state, total0)
+    (state, total), _ = jax.lax.scan(
+        sample, init, None, length=params.rays_per_pixel)
+    return total / jnp.float32(params.rays_per_pixel)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def render_frame(scene: Scene, basis: CameraBasis, params: RenderParams,
+                 frame_index):
+    """One full frame → (H, W, 3) linear radiance. Row 0 = bottom (RTiOW
+    convention; flip for display — io/image.py does).
+
+    With ``params.chunk_pixels > 0`` the frame is traced in sequential pixel
+    chunks (lax.map) to bound the rays × primitives working set of the jnp
+    backend; the Pallas backend tiles internally and doesn't need this.
+    """
+    W, H = params.width, params.height
+    n = H * W
+    pixel_ids = jnp.arange(n, dtype=jnp.uint32)
+    chunk = params.chunk_pixels
+    if chunk and chunk < n:
+        if n % chunk:
+            # pad to a whole number of chunks; surplus pixels are wasted
+            # lanes (masked out on reshape below)
+            pad = chunk - n % chunk
+            pixel_ids = jnp.concatenate(
+                [pixel_ids, jnp.full((pad,), n - 1, jnp.uint32)])
+        chunks = pixel_ids.reshape(-1, chunk)
+        img = jax.lax.map(
+            lambda ids: render_pixels(scene, basis, params, frame_index, ids),
+            chunks).reshape(-1, 3)[:n]
+    else:
+        img = render_pixels(scene, basis, params, frame_index, pixel_ids)
+    return img.reshape(H, W, 3)
+
+
+def accumulate(prev, frame_img, frame_index):
+    """Progressive blend (shaders/ray_tracer.wgsl:59-66)."""
+    w = 1.0 / (jnp.float32(frame_index) + 1.0)
+    return jnp.where(frame_index >= 1, prev * (1.0 - w) + frame_img * w, frame_img)
+
+
+class Renderer:
+    """Progressive renderer with reference frame-counter semantics
+    (src/core/context.rs:143-146, 176-187).
+
+    >>> r = Renderer(scene, camera, RenderParams(width=256, height=256))
+    >>> for _ in range(16): r.step()
+    >>> img = r.image   # (H, W, 3) linear, accumulated
+    """
+
+    def __init__(self, scene: Scene, camera: Camera, params: RenderParams):
+        self.scene = scene
+        self.camera = camera.replace(aspect=params.aspect)
+        self.params = params
+        self.frames = -1
+        self._image: Optional[jax.Array] = None
+        self._basis = camera_basis(self.camera)
+
+    def clear_accumulation(self):
+        """frames = -1: next step overwrites (context.rs:143-146)."""
+        self.frames = -1
+
+    def set_camera(self, camera: Camera):
+        self.camera = camera.replace(aspect=self.params.aspect)
+        self._basis = camera_basis(self.camera)
+        self.clear_accumulation()
+
+    def set_scene(self, scene: Scene):
+        self.scene = scene
+        self.clear_accumulation()
+
+    def set_params(self, params: RenderParams):
+        self.params = params
+        self.clear_accumulation()
+
+    def step(self) -> jax.Array:
+        """Render one frame and blend it in; returns the accumulated image."""
+        if self.params.accumulate:
+            self.frames += 1
+        frame_img = render_frame(
+            self.scene, self._basis, self.params, jnp.int32(self.frames))
+        if self._image is None or self.frames < 1:
+            self._image = frame_img
+        else:
+            self._image = accumulate(self._image, frame_img, self.frames)
+        return self._image
+
+    @property
+    def image(self) -> jax.Array:
+        if self._image is None:
+            self.step()
+        return self._image
+
+
+def render(scene: Scene, camera: Camera, params: RenderParams,
+           frames: int = 1) -> jax.Array:
+    """One-shot convenience: render ``frames`` progressive frames and return
+    the accumulated (H, W, 3) image."""
+    r = Renderer(scene, camera, params)
+    for _ in range(max(1, frames)):
+        img = r.step()
+    return img

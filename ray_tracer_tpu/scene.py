@@ -1,0 +1,312 @@
+"""Scene representation: padded structure-of-arrays pytree + builders.
+
+TPU-native re-design of the reference scene layer (src/core/scene.rs). The
+reference stores AoS GPU structs (Sphere/Vertex/Mesh with explicit padding,
+src/core/scene.rs:11-92) and indexes triangles indirectly through
+``indices[first + 3i + k]`` then ``vertices[offset + index]`` with a per-mesh
+translation applied at intersection time (shaders/ray_tracer.wgsl:159-181).
+
+Here the scene is a flat SoA pytree of padded jnp arrays:
+  * triangles are **pre-gathered**: v0/v1/v2 and n0/n1/n2 are (T, 3) arrays
+    with the mesh translation baked in at build time — the inner intersection
+    loop does zero indirection (gathers are expensive on TPU; the bake
+    happens once on host).
+  * materials are stored **per primitive** (albedo/emission/smoothness per
+    sphere and per triangle) — no material table gather on the hot path.
+  * arrays are padded to a multiple of ``pad`` lanes with validity masks so
+    shapes are static and Pallas tiles line up with the 128-lane VPU/MXU.
+
+Material encoding follows the reference: ``smoothness == -1.0`` marks a
+dielectric (shaders/ray_tracer.wgsl:240); ``smoothness in [0, 1]`` blends
+diffuse→specular (shaders/ray_tracer.wgsl:265-269). Colors are RGB (the
+reference carries a vec4 whose alpha never affects the image; deviation D7).
+
+The four built-in scenes reproduce src/core/scene.rs constructors:
+``balls`` (scene.rs:379), ``random_balls`` (scene.rs:121), ``room``
+(scene.rs:198), ``metal`` (scene.rs:311), including their cameras.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .camera import Camera
+
+PAD = 128  # lane-aligned padding unit
+
+
+def _field(**kw):
+    return dataclasses.field(**kw)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Scene:
+    """Device-side scene pytree. All arrays f32, padded; counts are static."""
+
+    # Spheres (reference Sphere struct, src/core/scene.rs:13-21)
+    sphere_center: jax.Array            # (S, 3)
+    sphere_radius: jax.Array            # (S,)
+    sphere_albedo: jax.Array            # (S, 3)
+    sphere_emission: jax.Array          # (S, 3)
+    sphere_emission_strength: jax.Array # (S,)
+    sphere_smoothness: jax.Array        # (S,)
+    sphere_valid: jax.Array             # (S,) f32 mask {0, 1}
+
+    # Triangles, pre-gathered + translated (reference Mesh/Vertex indirection,
+    # shaders/ray_tracer.wgsl:159-181, baked at build time)
+    tri_v0: jax.Array                   # (T, 3)
+    tri_v1: jax.Array                   # (T, 3)
+    tri_v2: jax.Array                   # (T, 3)
+    tri_n0: jax.Array                   # (T, 3)  raw vertex normals (the
+    tri_n1: jax.Array                   # (T, 3)  barycentric blend is
+    tri_n2: jax.Array                   # (T, 3)  normalized at hit time)
+    tri_albedo: jax.Array               # (T, 3)
+    tri_emission: jax.Array             # (T, 3)
+    tri_emission_strength: jax.Array    # (T,)
+    tri_smoothness: jax.Array           # (T,)
+    tri_valid: jax.Array                # (T,) f32 mask {0, 1}
+
+    num_spheres: int = _field(metadata=dict(static=True), default=0)
+    num_tris: int = _field(metadata=dict(static=True), default=0)
+
+    @property
+    def padded_spheres(self) -> int:
+        return self.sphere_center.shape[0]
+
+    @property
+    def padded_tris(self) -> int:
+        return self.tri_v0.shape[0]
+
+
+@dataclasses.dataclass
+class SceneBuilder:
+    """Host-side scene assembly (analog of the Vec-based Scene struct,
+    src/core/scene.rs:94-100, plus the loader append path in
+    src/core/resource.rs:72-105)."""
+
+    spheres: List[Tuple] = dataclasses.field(default_factory=list)
+    tris: List[Tuple] = dataclasses.field(default_factory=list)
+
+    def add_sphere(self, center, radius, albedo, emission=(0.0, 0.0, 0.0),
+                   emission_strength=0.0, smoothness=0.0) -> "SceneBuilder":
+        # Clamp mirrors Sphere::new (src/core/scene.rs:47-58): specular >= 1
+        # becomes 1; negative (dielectric sentinel) passes through.
+        smoothness = smoothness if smoothness < 1.0 else 1.0
+        self.spheres.append((tuple(center), float(radius), tuple(albedo),
+                             tuple(emission), float(emission_strength),
+                             float(smoothness)))
+        return self
+
+    def add_mesh(self, vertices, normals, indices, pos=(0.0, 0.0, 0.0),
+                 albedo=(0.2, 0.2, 1.0), emission=(0.0, 0.0, 0.0),
+                 emission_strength=0.0, smoothness=0.5) -> "SceneBuilder":
+        """Append a triangle mesh; bakes ``pos`` translation into vertices
+        (the reference translates per-intersection, wgsl:172-174)."""
+        vertices = np.asarray(vertices, np.float32).reshape(-1, 3)
+        normals = np.asarray(normals, np.float32).reshape(-1, 3)
+        indices = np.asarray(indices, np.uint32).reshape(-1)
+        if indices.size % 3 != 0:
+            raise ValueError("indices length must be a multiple of 3")
+        pos = np.asarray(pos, np.float32)
+        smoothness = smoothness if smoothness < 1.0 else 1.0
+        for t in range(indices.size // 3):
+            i0, i1, i2 = indices[3 * t], indices[3 * t + 1], indices[3 * t + 2]
+            self.tris.append((
+                tuple(vertices[i0] + pos), tuple(vertices[i1] + pos),
+                tuple(vertices[i2] + pos),
+                tuple(normals[i0]), tuple(normals[i1]), tuple(normals[i2]),
+                tuple(albedo), tuple(emission), float(emission_strength),
+                float(smoothness),
+            ))
+        return self
+
+    def bounds(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Host-side AABB over all primitives (min, max) — use this for
+        camera framing instead of pulling device arrays back (device→host
+        transfers can be slow on tunneled TPU backends)."""
+        pts = []
+        for c, r, *_ in self.spheres:
+            c = np.asarray(c, np.float32)
+            pts.append(c - r)
+            pts.append(c + r)
+        for rec in self.tris:
+            pts.extend(np.asarray(rec[k], np.float32) for k in range(3))
+        if not pts:
+            return np.zeros(3, np.float32), np.zeros(3, np.float32)
+        pts = np.stack(pts)
+        return pts.min(0), pts.max(0)
+
+    def build(self, pad: int = PAD) -> Scene:
+        S, T = len(self.spheres), len(self.tris)
+        SP = max(pad, -(-max(S, 1) // pad) * pad)
+        TP = max(pad, -(-max(T, 1) // pad) * pad)
+
+        def arr(shape, fill=0.0):
+            return np.full(shape, fill, np.float32)
+
+        sc, sr = arr((SP, 3)), arr((SP,))
+        sa, se = arr((SP, 3)), arr((SP, 3))
+        ses, ss, sv = arr((SP,)), arr((SP,)), arr((SP,))
+        for i, (c, r, a, e, es, sm) in enumerate(self.spheres):
+            sc[i], sr[i], sa[i], se[i], ses[i], ss[i], sv[i] = c, r, a, e, es, sm, 1.0
+
+        tv = [arr((TP, 3)) for _ in range(3)]
+        tn = [arr((TP, 3)) for _ in range(3)]
+        ta, te = arr((TP, 3)), arr((TP, 3))
+        tes, ts, tvld = arr((TP,)), arr((TP,)), arr((TP,))
+        for i, rec in enumerate(self.tris):
+            v0, v1, v2, n0, n1, n2, a, e, es, sm = rec
+            tv[0][i], tv[1][i], tv[2][i] = v0, v1, v2
+            tn[0][i], tn[1][i], tn[2][i] = n0, n1, n2
+            ta[i], te[i], tes[i], ts[i], tvld[i] = a, e, es, sm, 1.0
+
+        j = jnp.asarray
+        return Scene(
+            sphere_center=j(sc), sphere_radius=j(sr), sphere_albedo=j(sa),
+            sphere_emission=j(se), sphere_emission_strength=j(ses),
+            sphere_smoothness=j(ss), sphere_valid=j(sv),
+            tri_v0=j(tv[0]), tri_v1=j(tv[1]), tri_v2=j(tv[2]),
+            tri_n0=j(tn[0]), tri_n1=j(tn[1]), tri_n2=j(tn[2]),
+            tri_albedo=j(ta), tri_emission=j(te), tri_emission_strength=j(tes),
+            tri_smoothness=j(ts), tri_valid=j(tvld),
+            num_spheres=S, num_tris=T,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Built-in scenes (src/core/scene.rs constructors). Each returns
+# (Scene, Camera); camera aspect is supplied by the caller (the reference
+# derives it from the surface config).
+# ---------------------------------------------------------------------------
+
+WHITE = (1.0, 1.0, 1.0)
+BLACK = (0.0, 0.0, 0.0)
+
+
+def scene_balls(aspect: float = 1.0, pad: int = PAD) -> Tuple[Scene, Camera]:
+    """Default scene, id 0 (src/core/scene.rs:379-476)."""
+    cam = Camera(origin=(3.089, 1.53, -3.0), look_at=(-2.0, -1.0, 2.0),
+                 fov=45.0, aspect=aspect, near=0.1, far=100.0,
+                 aperture=0.0, focus_dist=0.1)
+    b = SceneBuilder()
+    b.add_sphere((-3.64, -0.42, 0.8028), 0.75, WHITE, BLACK, 0.0, 0.7)
+    b.add_sphere((-2.54, -0.72, 0.5), 0.6, (1.0, 0.0, 0.0), BLACK, 0.0, 0.5)
+    b.add_sphere((-1.27, -0.72, 1.0), 0.5, (0.0, 1.0, 0.0), WHITE, 0.0, 0.2)
+    b.add_sphere((-0.5, -0.9, 1.55), 0.35, (0.0, 0.0, 1.0), WHITE, 0.0, 0.0)
+    # floor
+    b.add_sphere((-3.46, -15.88, 2.76), 15.0, (0.5, 0.0, 0.8), WHITE, 0.0, 0.0)
+    # light object
+    b.add_sphere((-7.44, -0.72, 20.0), 15.0, (0.1, 0.1, 0.1), WHITE, 2.0, 0.0)
+    return b.build(pad), cam
+
+
+def scene_random_balls(aspect: float = 1.0, seed: int = 0,
+                       pad: int = PAD) -> Tuple[Scene, Camera]:
+    """RTiOW final scene, id 1 (src/core/scene.rs:121-197). The reference
+    uses thread_rng (non-reproducible); we take a seed (deviation D8)."""
+    cam = Camera(origin=(10.5, 2.0, 3.0), look_at=(0.0, 0.0, 0.0),
+                 fov=45.0, aspect=aspect, near=0.1, far=100.0,
+                 aperture=0.1, focus_dist=10.0)
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+    b.add_sphere((0.0, -1000.0, 0.0), 1000.0, (0.5, 0.5, 0.5), BLACK, 0.0, 0.0)
+    for a in range(-11, 11):
+        for c in range(-11, 11):
+            mat = rng.random()
+            center = (a + 0.9 * rng.random(), 0.2, c + 0.9 * rng.random())
+            if np.linalg.norm(np.array(center) - np.array([4.0, 0.2, 0.0])) <= 0.9:
+                continue
+            if mat < 0.8:
+                albedo = tuple(rng.random(3))
+                b.add_sphere(center, 0.2, albedo, BLACK, 0.0, 0.0)
+            elif mat < 0.95:
+                albedo = tuple(rng.uniform(0.5, 1.0, 3))
+                fuzz = rng.uniform(0.0, 0.5)
+                b.add_sphere(center, 0.2, albedo, BLACK, 0.0, fuzz)
+            else:
+                b.add_sphere(center, 0.2, WHITE, BLACK, 0.0, -1.0)
+    b.add_sphere((0.0, 1.0, 0.0), 1.0, WHITE, BLACK, 0.0, -1.0)
+    b.add_sphere((-4.0, 1.0, 0.0), 1.0, (0.4, 0.2, 0.1), BLACK, 0.0, 0.0)
+    b.add_sphere((4.0, 1.0, 0.0), 1.0, (0.7, 0.6, 0.5), BLACK, 0.0, 0.9)
+    return b.build(pad), cam
+
+
+# Room geometry (src/core/scene.rs:219-258): 8 cube corners (+/-3) and a
+# 2x2 light quad at y=1; the odd non-unit normals are the reference's.
+_ROOM_VERTS = np.array([
+    [3, -3, -3], [3, -3, 3], [-3, -3, 3], [-3, -3, -3],
+    [3, 3, -3], [3, 3, 3], [-3, 3, 3], [-3, 3, -3],
+    [1, 1, -1], [1, 1, 1], [-1, 1, 1], [-1, 1, -1],
+], np.float32)
+_ROOM_NORMALS = np.array([
+    [2, -3, -3], [4, -3, 0], [3, -4, 2], [3, -4, 2],
+    [3, -4, 2], [3, -4, 2], [3, -4, 2], [3, -4, 2],
+    [3, -4, 2], [3, -4, 2], [3, -4, 2], [3, -4, 2],
+], np.float32)
+_ROOM_INDICES = np.array([
+    3, 2, 1, 3, 1, 0,
+    7, 0, 4, 7, 3, 0,
+    7, 6, 2, 7, 2, 3,
+    2, 6, 5, 2, 5, 1,
+    1, 5, 4, 1, 4, 0,
+    5, 6, 7, 5, 7, 4,
+    9, 10, 11, 9, 11, 8,
+], np.uint32)
+_ROOM_WALL_COLORS = [
+    (1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0),
+    (0.5, 0.5, 0.0), (0.0, 0.5, 0.5), (1.0, 1.0, 1.0),
+]
+
+
+def scene_room(aspect: float = 1.0, pad: int = PAD) -> Tuple[Scene, Camera]:
+    """Cube room with emissive ceiling quad, id 2 (src/core/scene.rs:198-310)."""
+    cam = Camera(origin=(-7.0, 0.0, 0.0), look_at=(1.0, 0.0, 0.0),
+                 fov=45.0, aspect=aspect, near=0.1, far=100.0,
+                 aperture=0.0, focus_dist=0.1)
+    b = SceneBuilder()
+    b.add_sphere((4.0, 0.0, 1.7), 1.2, WHITE, BLACK, 0.0, 1.0)
+    b.add_sphere((4.0, 0.0, -1.7), 1.2, WHITE, BLACK, 0.0, 0.5)
+    for wall in range(6):
+        b.add_mesh(_ROOM_VERTS, _ROOM_NORMALS, _ROOM_INDICES[wall * 6:(wall + 1) * 6],
+                   pos=(3.0, 0.0, 0.0), albedo=_ROOM_WALL_COLORS[wall],
+                   emission=WHITE, emission_strength=0.0, smoothness=0.5)
+    b.add_mesh(_ROOM_VERTS, _ROOM_NORMALS, _ROOM_INDICES[36:42],
+               pos=(3.0, 1.9, 0.0), albedo=WHITE,
+               emission=WHITE, emission_strength=10.5, smoothness=0.0)
+    return b.build(pad), cam
+
+
+def scene_metal(aspect: float = 1.0, pad: int = PAD) -> Tuple[Scene, Camera]:
+    """RTiOW ch.10 3-sphere scene, id 3 (src/core/scene.rs:311-378)."""
+    cam = Camera(origin=(0.0, 0.0, 3.0), look_at=(0.0, 0.0, -1.0),
+                 fov=45.0, aspect=aspect, near=0.1, far=100.0,
+                 aperture=0.0, focus_dist=0.1)
+    b = SceneBuilder()
+    b.add_sphere((0.0, -100.5, -1.0), 100.0, (0.8, 0.8, 0.0), BLACK, 0.0, 0.0)
+    b.add_sphere((0.0, 0.0, -1.0), 0.5, (0.7, 0.3, 0.3), BLACK, 0.0, 0.0)
+    b.add_sphere((-1.0, 0.0, -1.0), 0.5, (0.8, 0.8, 0.8), BLACK, 0.0, -1.0)
+    b.add_sphere((1.0, 0.0, -1.0), 0.5, (0.8, 0.6, 0.2), BLACK, 0.0, 0.15)
+    return b.build(pad), cam
+
+
+BUILTIN_SCENES = {
+    "balls": scene_balls,
+    "random_balls": scene_random_balls,
+    "room": scene_room,
+    "metal": scene_metal,
+}
+# Runtime scene switch ids match src/core/context.rs:261-279.
+SCENE_IDS = {0: "balls", 1: "random_balls", 2: "room", 3: "metal"}
+
+
+def builtin_scene(name_or_id, aspect: float = 1.0, pad: int = PAD,
+                  **kw) -> Tuple[Scene, Camera]:
+    if isinstance(name_or_id, int):
+        name_or_id = SCENE_IDS[name_or_id]
+    return BUILTIN_SCENES[name_or_id](aspect=aspect, pad=pad, **kw)

@@ -1,0 +1,69 @@
+"""Render configuration.
+
+TPU-native analog of the reference's ``Params`` uniform + imgui knob set
+(reference: src/core/context.rs:13-21 and the widget tree at
+src/core/context.rs:230-258). All knobs are static Python values so that a
+jitted render step specializes on them (XLA requires static shapes/loop
+bounds); changing a knob triggers a (cached) recompile, which replaces the
+reference's "upload new uniform" path.
+
+Defaults mirror src/core/context.rs:86-94: bounces=3, rays_per_pixel=1,
+skybox off, accumulate on, 800x800 window (src/lib.rs:17).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderParams:
+    """Static render parameters. Hashable → usable as a jit static arg."""
+
+    width: int = 800
+    height: int = 800
+    # Number of bounce iterations is ``bounces + 1`` ray segments, matching the
+    # reference's inclusive loop `for i = 0; i <= number_of_bounces`
+    # (shaders/ray_tracer.wgsl:233). We keep the reference's visual behavior.
+    bounces: int = 3
+    # Samples per pixel per frame. The reference's inclusive sample loop runs
+    # rays_per_pixel+1 samples but divides by rays_per_pixel
+    # (shaders/ray_tracer.wgsl:312,326). We implement the *intent*: exactly
+    # `rays_per_pixel` samples averaged by `rays_per_pixel`. Deviation D1 in
+    # docs/DEVIATIONS.md.
+    rays_per_pixel: int = 1
+    # Procedural sky light on miss (shaders/ray_tracer.wgsl:274-279; the WGSL
+    # reads this as `params.toggle`).
+    skybox: bool = False
+    # Progressive accumulation (host-side frame counter semantics,
+    # src/core/context.rs:180-184).
+    accumulate: bool = True
+    # Self-intersection epsilon. The reference has none (relies on f32 noise,
+    # shaders/ray_tracer.wgsl:113 `dst >= 0.0`); we use the RTiOW-style t_min.
+    # Deviation D2.
+    t_min: float = 1e-4
+    # Intersection backend: "auto" (pallas on TPU, jnp elsewhere), "jnp",
+    # "pallas".
+    backend: str = "auto"
+    # Render the frame in chunks of this many pixels (0 = whole frame at
+    # once). Bounds the (rays × primitives) working set: the jnp backend
+    # materializes O(chunk × primitives) in HBM; the Pallas backend tiles
+    # internally and can take the whole frame.
+    chunk_pixels: int = 0
+
+    def __post_init__(self):
+        if self.width <= 0 or self.height <= 0:
+            raise ValueError("width/height must be positive")
+        if self.bounces < 0:
+            raise ValueError("bounces must be >= 0")
+        if self.rays_per_pixel < 1:
+            raise ValueError("rays_per_pixel must be >= 1")
+        if self.backend not in ("auto", "jnp", "pallas"):
+            raise ValueError(f"unknown backend {self.backend!r}")
+
+    @property
+    def aspect(self) -> float:
+        return self.width / self.height
+
+    def replace(self, **kw) -> "RenderParams":
+        return dataclasses.replace(self, **kw)

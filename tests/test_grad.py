@@ -1,0 +1,125 @@
+"""Differentiable-rendering tests: jax.grad vs finite differences, and an
+actual inverse-rendering recovery (SURVEY §7.2 M2)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+import ray_tracer_tpu as rt
+from ray_tracer_tpu.grad import image_mse, make_train_step, merge_scene, split_scene
+from ray_tracer_tpu.renderer import render_frame
+
+
+def _setup(albedo=(0.7, 0.3, 0.3)):
+    scene = (rt.SceneBuilder()
+             .add_sphere((0, 0, -3), 1.0, albedo, emission=(1, 1, 1),
+                         emission_strength=0.5)
+             .build(pad=8))
+    cam = rt.Camera(origin=(0, 0, 0), look_at=(0, 0, -1), fov=30.0, aspect=1.0)
+    params = rt.RenderParams(width=12, height=12, bounces=1, skybox=True,
+                             backend="jnp")
+    basis = rt.camera_basis(cam)
+    return scene, basis, params
+
+
+def test_grad_flows_to_albedo_and_matches_fd():
+    scene, basis, params = _setup()
+    target = jnp.zeros((12, 12, 3))
+
+    def loss_of_albedo(albedo):
+        s = merge_scene(scene, {"sphere_albedo": albedo})
+        img = render_frame(s, basis, params, jnp.int32(0))
+        return jnp.mean((img - target) ** 2)
+
+    g = jax.grad(loss_of_albedo)(scene.sphere_albedo)
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    assert np.abs(g[0]).max() > 0  # real sphere gets gradient
+    assert np.abs(g[1:]).max() == 0  # padding spheres get none
+
+    # central finite difference on one coordinate
+    eps = 1e-3
+    e = jnp.zeros_like(scene.sphere_albedo).at[0, 0].set(eps)
+    fd = (loss_of_albedo(scene.sphere_albedo + e)
+          - loss_of_albedo(scene.sphere_albedo - e)) / (2 * eps)
+    assert abs(float(fd) - g[0, 0]) < 5e-3 * max(1.0, abs(g[0, 0]))
+
+
+def test_grad_flows_to_sphere_center():
+    """Moving a GLOSSY sphere changes the reflected direction and thus the
+    sky radiance: the interior (non-silhouette) gradient is nonzero. (A pure
+    diffuse sphere legitimately has zero center-gradient here: the hemisphere
+    sample's dependence on the normal is through sign() only.)"""
+    scene = (rt.SceneBuilder()
+             .add_sphere((0, 0, -3), 1.0, (0.7, 0.3, 0.3), smoothness=0.8)
+             .build(pad=8))
+    cam = rt.Camera(origin=(0, 0, 0), look_at=(0, 0, -1), fov=30.0, aspect=1.0)
+    params = rt.RenderParams(width=12, height=12, bounces=1, skybox=True,
+                             backend="jnp")
+    basis = rt.camera_basis(cam)
+    target = jnp.zeros((12, 12, 3))
+
+    def loss_of_center(c):
+        s = merge_scene(scene, {"sphere_center": c})
+        img = render_frame(s, basis, params, jnp.int32(0))
+        return jnp.mean((img - target) ** 2)
+
+    g = np.asarray(jax.grad(loss_of_center)(scene.sphere_center))
+    assert np.isfinite(g).all()
+    assert np.abs(g[0]).max() > 0
+
+
+def test_grad_flows_to_triangle_vertices():
+    verts = [(-2, -2, -2), (2, -2, -2), (0, 2, -2)]
+    scene = (rt.SceneBuilder()
+             .add_mesh(verts, np.tile([[0, 0, 1.0]], (3, 1)), [0, 1, 2],
+                       albedo=(0.2, 0.8, 0.2), emission=(1, 1, 1),
+                       emission_strength=1.0)
+             .build(pad=8))
+    cam = rt.Camera(origin=(0, 0, 2), look_at=(0, 0, -1), fov=40.0, aspect=1.0)
+    params = rt.RenderParams(width=8, height=8, bounces=0, backend="jnp")
+    basis = rt.camera_basis(cam)
+
+    def loss(v0):
+        s = merge_scene(scene, {"tri_v0": v0})
+        img = render_frame(s, basis, params, jnp.int32(0))
+        return jnp.mean(img)
+
+    g = np.asarray(jax.grad(loss)(scene.tri_v0))
+    assert np.isfinite(g).all()
+
+
+def test_inverse_rendering_recovers_albedo():
+    """Optimize a wrong albedo toward a target render: loss must drop and
+    the recovered albedo must approach the true one."""
+    true_scene, basis, params = _setup(albedo=(0.8, 0.2, 0.6))
+    target = render_frame(true_scene, basis, params, jnp.int32(0))
+
+    wrong_scene, _, _ = _setup(albedo=(0.3, 0.7, 0.3))
+    init_fn, step_fn = make_train_step(params, optax.adam(5e-2))
+    trainable, opt_state = init_fn(wrong_scene, fields=("sphere_albedo",))
+
+    losses = []
+    for i in range(60):
+        trainable, opt_state, loss = step_fn(
+            trainable, opt_state, wrong_scene, basis, target, jnp.int32(0))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.1, losses[::10]
+    rec = np.asarray(trainable["sphere_albedo"][0])
+    np.testing.assert_allclose(rec, [0.8, 0.2, 0.6], atol=0.15)
+
+
+def test_distributed_grads_match_single_device():
+    from ray_tracer_tpu.parallel import make_mesh
+    scene, basis, params = _setup()
+    target = jnp.zeros((12, 12, 3))
+    trainable, _ = split_scene(scene, ("sphere_albedo",))
+
+    g1 = jax.grad(image_mse)(trainable, scene, basis, params, jnp.int32(0),
+                             target, mesh=None)
+    g8 = jax.grad(image_mse)(trainable, scene, basis, params, jnp.int32(0),
+                             target, mesh=make_mesh(8))
+    np.testing.assert_allclose(np.asarray(g1["sphere_albedo"]),
+                               np.asarray(g8["sphere_albedo"]), atol=1e-5)

@@ -1,0 +1,114 @@
+"""End-to-end renderer tests: accumulation law, energy sanity, scenes."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import ray_tracer_tpu as rt
+
+
+def _small(width=32, height=32, **kw):
+    kw.setdefault("backend", "jnp")
+    return rt.RenderParams(width=width, height=height, **kw)
+
+
+def test_accumulate_recurrence_matches_reference():
+    """new = prev*(1-w) + frame*w, w = 1/(frames+1) (wgsl:59-63):
+    after n frames the image is the mean of the n frame images."""
+    prev = jnp.zeros((4, 4, 3))
+    frames = [jnp.full((4, 4, 3), float(i)) for i in range(5)]
+    img = frames[0]  # frame 0 overwrites
+    for i in range(1, 5):
+        img = rt.accumulate(img, frames[i], i)
+    np.testing.assert_allclose(np.asarray(img), np.mean([float(i) for i in range(5)]),
+                               rtol=1e-6)
+
+
+def test_emissive_only_scene_radiance():
+    """A single fully-emissive englobing sphere: every primary ray hits it,
+    radiance = emission_strength * emission_color (throughput 1 on first
+    hit)."""
+    scene = (rt.SceneBuilder()
+             .add_sphere((0, 0, -3), 1.0, (0, 0, 0), emission=(1.0, 0.5, 0.25),
+                         emission_strength=2.0)
+             .build())
+    cam = rt.Camera(origin=(0, 0, 0), look_at=(0, 0, -1), fov=10.0, aspect=1.0,
+                    focus_dist=1.0)
+    img = rt.render(scene, cam, _small(16, 16, bounces=0))
+    img = np.asarray(img)
+    np.testing.assert_allclose(
+        img, np.broadcast_to([2.0, 1.0, 0.5], img.shape), rtol=1e-5)
+
+
+def test_skybox_off_miss_is_black():
+    scene = rt.SceneBuilder().add_sphere((0, 0, 100), 1.0, (1, 1, 1)).build()
+    cam = rt.Camera(origin=(0, 0, 0), look_at=(0, 0, -1), aspect=1.0)
+    img = np.asarray(rt.render(scene, cam, _small(8, 8, skybox=False)))
+    np.testing.assert_allclose(img, 0.0, atol=1e-7)
+
+
+def test_skybox_on_miss_is_env():
+    scene = rt.SceneBuilder().add_sphere((0, 0, 100), 1.0, (1, 1, 1)).build()
+    cam = rt.Camera(origin=(0, 0, 0), look_at=(0, 1, 0), fov=5.0, aspect=1.0)
+    img = np.asarray(rt.render(scene, cam, _small(8, 8, skybox=True)))
+    # Looking straight up: every pixel ≈ zenith + sun
+    assert img.min() > 0.0
+    assert np.allclose(img.mean((0, 1)),
+                       np.asarray(rt.render(scene, cam, _small(8, 8, skybox=True))).mean((0, 1)),
+                       atol=1e-6)
+
+
+def test_render_deterministic_same_frame():
+    scene, cam = rt.builtin_scene("metal", aspect=1.0)
+    p = _small(16, 16, skybox=True)
+    a = np.asarray(rt.render(scene, cam, p, frames=1))
+    b = np.asarray(rt.render(scene, cam, p, frames=1))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_progressive_frames_reduce_variance():
+    scene, cam = rt.builtin_scene("metal", aspect=1.0)
+    p = _small(16, 16, skybox=True)
+    r1 = rt.Renderer(scene, cam, p)
+    f0 = np.asarray(r1.step())
+    r2 = rt.Renderer(scene, cam, p)
+    many = None
+    for _ in range(8):
+        many = r2.step()
+    many = np.asarray(many)
+    # Same scene → similar mean, accumulated image differs from single frame
+    assert abs(f0.mean() - many.mean()) < 0.2
+    assert not np.array_equal(f0, many)
+    assert r2.frames == 7
+
+
+def test_all_builtin_scenes_render_finite():
+    for name in ["balls", "random_balls", "room", "metal"]:
+        scene, cam = rt.builtin_scene(name, aspect=1.0)
+        img = np.asarray(rt.render(scene, cam, _small(8, 8, bounces=2, skybox=True)))
+        assert np.isfinite(img).all(), name
+        assert img.shape == (8, 8, 3)
+
+
+def test_clear_accumulation_semantics():
+    scene, cam = rt.builtin_scene("metal", aspect=1.0)
+    r = rt.Renderer(scene, cam, _small(8, 8))
+    r.step(); r.step()
+    assert r.frames == 1
+    r.clear_accumulation()
+    assert r.frames == -1
+    r.step()
+    assert r.frames == 0
+
+
+def test_energy_conservation_no_emission_no_sky():
+    """Non-emissive closed-ish scene with sky off: radiance must be 0."""
+    scene, cam = rt.builtin_scene("metal", aspect=1.0)
+    img = np.asarray(rt.render(scene, cam, _small(8, 8, skybox=False)))
+    np.testing.assert_allclose(img, 0.0, atol=1e-7)
+
+
+def test_room_scene_lit_by_ceiling():
+    scene, cam = rt.builtin_scene("room", aspect=1.0)
+    img = np.asarray(rt.render(scene, cam, _small(24, 24, bounces=3), frames=4))
+    assert img.max() > 0.05  # emissive ceiling illuminates the room
+    assert np.isfinite(img).all()
