@@ -16,9 +16,9 @@ import os
 import sys
 import time
 
-# Round-1 jnp-backend number on the same workload; later rounds divide by
-# this to show progress. Updated when the workload definition changes.
-BASELINE_RAYS_PER_S = None  # set after first TPU measurement lands
+# First recorded number on this workload (round 1, Pallas brute-force
+# kernel, TPU v5e): later rounds divide by this to show progress.
+BASELINE_RAYS_PER_S = 13_548_595.0
 
 
 def build_workload():
@@ -51,21 +51,24 @@ def build_workload():
 
 def main():
     import jax
+    import numpy as np
     import ray_tracer_tpu as rt
+    from ray_tracer_tpu.renderer import camera_basis, render_progressive
 
     scene, cam, params = build_workload()
-    r = rt.Renderer(scene, cam, params)
+    basis = camera_basis(cam.replace(aspect=params.aspect))
 
+    frames = int(os.environ.get("BENCH_FRAMES", "8"))
+    # On-device frame loop (one dispatch) + full image pull as the sync:
+    # block_until_ready is unreliable through tunneled TPU backends.
     t0 = time.time()
-    r.step().block_until_ready()
+    np.asarray(render_progressive(scene, basis, params, 1))
     compile_s = time.time() - t0
 
-    frames = int(os.environ.get("BENCH_FRAMES", "4"))
     t0 = time.time()
-    for _ in range(frames):
-        img = r.step()
-    img.block_until_ready()
+    img = np.asarray(render_progressive(scene, basis, params, frames))
     dt = time.time() - t0
+    assert np.isfinite(img).all()
 
     segments = (params.width * params.height * params.rays_per_pixel
                 * (params.bounces + 1) * frames)

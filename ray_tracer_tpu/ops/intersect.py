@@ -195,15 +195,22 @@ def hit_attributes(scene: Scene, o, d, prim_id, miss, t_min):
 # Dispatch
 # ---------------------------------------------------------------------------
 
-def intersect(scene: Scene, o, d, t_min=1e-4, backend: str = "jnp") -> Hit:
-    """Full closest-hit query → Hit. ``backend``: "jnp" | "pallas" | "auto"."""
+def intersect(scene: Scene, o, d, t_min=1e-4, backend: str = "jnp",
+              alive=None) -> Hit:
+    """Full closest-hit query → Hit. ``backend``: "jnp" | "pallas" | "auto".
+
+    ``alive`` ((R,) bool, optional): wavefront liveness. The Pallas backend
+    skips work for dead lanes/tiles; the jnp oracle is fully vectorized and
+    ignores it (dead lanes' results are masked downstream either way).
+    """
     if backend == "auto":
         backend = "pallas" if jax.devices()[0].platform == "tpu" else "jnp"
     o_s, d_s = jax.lax.stop_gradient(o), jax.lax.stop_gradient(d)
     scene_s = jax.lax.stop_gradient(scene)
     if backend == "pallas":
         from .pallas_intersect import nearest_hit_pallas
-        best_t, prim_id = nearest_hit_pallas(scene_s, o_s, d_s, t_min)
+        best_t, prim_id = nearest_hit_pallas(scene_s, o_s, d_s, t_min,
+                                             alive=alive)
     else:
         best_t, prim_id = nearest_hit_jnp(scene_s, o_s, d_s, t_min)
     miss = jnp.isinf(best_t)

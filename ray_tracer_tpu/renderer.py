@@ -39,6 +39,57 @@ from .scene import Scene
 from .utils.config import RenderParams
 
 
+def resolved_backend(params: RenderParams) -> str:
+    if params.backend != "auto":
+        return params.backend
+    return "pallas" if jax.devices()[0].platform == "tpu" else "jnp"
+
+
+# ---------------------------------------------------------------------------
+# Wavefront compaction: spatial sort keys (SURVEY §5 "long-context" slot —
+# the renderer analog of sequence-parallel scheduling). Rays are reordered
+# between bounces so Pallas ray tiles stay coherent; radiance is scattered
+# back to pixel slots at the end of the trace.
+# ---------------------------------------------------------------------------
+
+def _scene_aabb(scene: Scene):
+    """(lo, hi) over valid primitives; jnp, hoisted by XLA per scene."""
+    inf = jnp.inf
+    sv = scene.sphere_valid[:, None] > 0.5
+    slo = jnp.where(sv, scene.sphere_center - scene.sphere_radius[:, None], inf)
+    shi = jnp.where(sv, scene.sphere_center + scene.sphere_radius[:, None], -inf)
+    tv = scene.tri_valid[:, None] > 0.5
+    pts_lo = [slo] + [jnp.where(tv, v, inf)
+                      for v in (scene.tri_v0, scene.tri_v1, scene.tri_v2)]
+    pts_hi = [shi] + [jnp.where(tv, v, -inf)
+                      for v in (scene.tri_v0, scene.tri_v1, scene.tri_v2)]
+    lo = jnp.min(jnp.concatenate(pts_lo, 0), axis=0)
+    hi = jnp.max(jnp.concatenate(pts_hi, 0), axis=0)
+    return lo, hi
+
+
+def _spread8(x):
+    """Interleave the low 8 bits of x with two zero bits (uint32)."""
+    x = (x | (x << 8)) & jnp.uint32(0x00F00F)
+    x = (x | (x << 4)) & jnp.uint32(0x0C30C3)
+    x = (x | (x << 2)) & jnp.uint32(0x249249)
+    return x
+
+
+def _ray_sort_key(lo, hi, o, d, alive):
+    """uint32 sort key: dead rays to the back; live rays grouped by
+    direction octant (3 bits) then 24-bit Morton cell of the origin."""
+    ext = jnp.maximum(hi - lo, 1e-12)
+    q = jnp.clip((o - lo) / ext * 255.0, 0.0, 255.0).astype(jnp.uint32)
+    morton = ((_spread8(q[:, 0]) << 2) | (_spread8(q[:, 1]) << 1)
+              | _spread8(q[:, 2]))
+    octant = ((d[:, 0] > 0).astype(jnp.uint32)
+              | ((d[:, 1] > 0).astype(jnp.uint32) << 1)
+              | ((d[:, 2] > 0).astype(jnp.uint32) << 2))
+    key = (octant << 24) | morton
+    return jnp.where(alive, key, jnp.uint32(0xFFFFFFFF))
+
+
 def trace(scene: Scene, o, d, state, params: RenderParams):
     """Trace a wavefront of rays to completion.
 
@@ -50,22 +101,37 @@ def trace(scene: Scene, o, d, state, params: RenderParams):
 
     Returns: (state, radiance (R, 3)).
     """
+    R = o.shape[0]
+    compacting = params.compaction and resolved_backend(params) == "pallas"
+    if compacting:
+        aabb_lo, aabb_hi = _scene_aabb(scene)
     # Initial carries are derived from the ray arrays (o * 0) rather than
     # fresh constants so that under shard_map they inherit the rays'
     # varying-axes type (lax.scan requires carry-in/out types to match);
     # XLA constant-folds the arithmetic.
     zero3 = o * 0.0
+    slot = state * 0 + jnp.arange(R, dtype=jnp.uint32)  # original ray slot
     init = (
         o, d,
         zero3 + 1.0,                      # throughput (ray_color, wgsl:231)
         zero3,                            # incoming light
         zero3[:, 0] == 0.0,               # alive (all True)
         state,
+        slot,
     )
 
     def bounce(carry, _):
-        o, d, throughput, incoming, alive, state = carry
-        h = intersect(scene, o, d, t_min=params.t_min, backend=params.backend)
+        o, d, throughput, incoming, alive, state, slot = carry
+        if compacting:
+            # wavefront compaction: group live rays by direction octant +
+            # origin Morton cell so kernel tiles stay coherent; dead rays
+            # collapse into whole tiles the kernel skips entirely
+            order = jnp.argsort(_ray_sort_key(aabb_lo, aabb_hi, o, d, alive))
+            o, d, throughput, incoming, alive, state, slot = (
+                x[order] for x in (o, d, throughput, incoming, alive, state,
+                                   slot))
+        h = intersect(scene, o, d, t_min=params.t_min, backend=params.backend,
+                      alive=alive)
         active_hit = alive & h.hit
         active_miss = alive & ~h.hit
 
@@ -88,12 +154,16 @@ def trace(scene: Scene, o, d, state, params: RenderParams):
         o = jnp.where(active_hit[:, None], h.point, o)
         d = jnp.where(active_hit[:, None], new_dir, d)
         alive = active_hit
-        return (o, d, throughput, incoming, alive, state), None
+        return (o, d, throughput, incoming, alive, state, slot), None
 
     # Inclusive loop: bounces+1 segments, matching `i <= number_of_bounces`
     # (wgsl:233; SURVEY quirk Q3 — kept, it defines the reference's look).
-    (o, d, throughput, incoming, alive, state), _ = jax.lax.scan(
+    (o, d, throughput, incoming, alive, state, slot), _ = jax.lax.scan(
         bounce, init, None, length=params.bounces + 1)
+    if compacting:
+        # scatter radiance (and RNG state) back to original ray slots
+        incoming = jnp.zeros_like(incoming).at[slot].set(incoming)
+        state = jnp.zeros_like(state).at[slot].set(state)
     return state, incoming
 
 
@@ -125,6 +195,21 @@ def render_pixels(scene: Scene, basis: CameraBasis, params: RenderParams,
     return total / jnp.float32(params.rays_per_pixel)
 
 
+@functools.lru_cache(maxsize=16)
+def _blocked_order(W: int, H: int, bw: int = 16, bh: int = 8):
+    """(order, inverse): pixel ids permuted so each run of 128 consecutive
+    rays is a compact 16×8 pixel block instead of a 128-wide scanline strip.
+    Tight tiles → tight per-tile frustums → the Pallas kernel's cluster
+    culling actually culls. Host-side constants, cached per resolution."""
+    import numpy as np
+    ys, xs = np.mgrid[0:H, 0:W]
+    key = ((ys // bh) * (-(-W // bw)) + (xs // bw)) * (bw * bh) \
+        + (ys % bh) * bw + (xs % bw)
+    order = np.argsort(key.reshape(-1), kind="stable").astype(np.uint32)
+    inverse = np.argsort(order, kind="stable").astype(np.int32)
+    return order, inverse
+
+
 @functools.partial(jax.jit, static_argnames=("params",))
 def render_frame(scene: Scene, basis: CameraBasis, params: RenderParams,
                  frame_index):
@@ -137,7 +222,12 @@ def render_frame(scene: Scene, basis: CameraBasis, params: RenderParams,
     """
     W, H = params.width, params.height
     n = H * W
-    pixel_ids = jnp.arange(n, dtype=jnp.uint32)
+    blocked = resolved_backend(params) == "pallas"
+    if blocked:
+        order, inverse = _blocked_order(W, H)
+        pixel_ids = jnp.asarray(order)
+    else:
+        pixel_ids = jnp.arange(n, dtype=jnp.uint32)
     chunk = params.chunk_pixels
     if chunk and chunk < n:
         if n % chunk:
@@ -152,6 +242,8 @@ def render_frame(scene: Scene, basis: CameraBasis, params: RenderParams,
             chunks).reshape(-1, 3)[:n]
     else:
         img = render_pixels(scene, basis, params, frame_index, pixel_ids)
+    if blocked:
+        img = img[jnp.asarray(inverse)]  # back to raster order
     return img.reshape(H, W, 3)
 
 
@@ -159,6 +251,31 @@ def accumulate(prev, frame_img, frame_index):
     """Progressive blend (shaders/ray_tracer.wgsl:59-66)."""
     w = 1.0 / (jnp.float32(frame_index) + 1.0)
     return jnp.where(frame_index >= 1, prev * (1.0 - w) + frame_img * w, frame_img)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "frames"))
+def render_progressive(scene: Scene, basis: CameraBasis, params: RenderParams,
+                       frames: int, start_frame=0):
+    """``frames`` progressive frames accumulated ON DEVICE in one XLA
+    program (lax.scan over the frame index). One host→device dispatch total
+    — per-launch latency no longer multiplies with frame count, and the
+    accumulation recurrence (wgsl:59-66) fuses into the frame loop. Returns
+    the accumulated (H, W, 3) image.
+
+    Equivalent to calling ``render_frame`` + ``accumulate`` per frame
+    starting at ``start_frame`` (the Renderer class uses that pair for
+    interactive stepping; use this for headless/batch rendering)."""
+    start = jnp.int32(start_frame)
+
+    def step(img, k):
+        f = start + k
+        frame_img = render_frame(scene, basis, params, f)
+        return accumulate(img, frame_img, f), None
+
+    H, W = params.height, params.width
+    init = jnp.zeros((H, W, 3), jnp.float32)
+    img, _ = jax.lax.scan(step, init, jnp.arange(frames, dtype=jnp.int32))
+    return img
 
 
 class Renderer:

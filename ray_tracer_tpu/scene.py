@@ -142,7 +142,17 @@ class SceneBuilder:
         pts = np.stack(pts)
         return pts.min(0), pts.max(0)
 
-    def build(self, pad: int = PAD) -> Scene:
+    def build(self, pad: int = PAD, sort_tris: bool = True) -> Scene:
+        """Build the device Scene.
+
+        ``sort_tris`` reorders triangles along a Morton curve of their
+        centroids so that consecutive triangles are spatially coherent —
+        the Pallas kernel culls whole triangle chunks against cluster AABBs
+        (ops/pallas_intersect.py), which only pays off when chunks are
+        spatially tight. Pure renaming of primitive ids; images unchanged.
+        """
+        if sort_tris and len(self.tris) > 1:
+            self.tris = [self.tris[i] for i in _morton_order(self.tris)]
         S, T = len(self.spheres), len(self.tris)
         SP = max(pad, -(-max(S, 1) // pad) * pad)
         TP = max(pad, -(-max(T, 1) // pad) * pad)
@@ -177,6 +187,27 @@ class SceneBuilder:
             tri_smoothness=j(ts), tri_valid=j(tvld),
             num_spheres=S, num_tris=T,
         )
+
+
+def _morton_order(tris) -> np.ndarray:
+    """Argsort of triangles by the 30-bit Morton code of their centroids
+    (10 bits/axis over the scene AABB)."""
+    centroids = np.array([
+        (np.asarray(t[0]) + np.asarray(t[1]) + np.asarray(t[2])) / 3.0
+        for t in tris], np.float64)
+    lo, hi = centroids.min(0), centroids.max(0)
+    ext = np.maximum(hi - lo, 1e-12)
+    q = np.clip(((centroids - lo) / ext * 1023.0), 0, 1023).astype(np.uint64)
+
+    def spread(x):
+        x = (x | (x << 16)) & np.uint64(0x030000FF)
+        x = (x | (x << 8)) & np.uint64(0x0300F00F)
+        x = (x | (x << 4)) & np.uint64(0x030C30C3)
+        x = (x | (x << 2)) & np.uint64(0x09249249)
+        return x
+
+    code = (spread(q[:, 0]) << np.uint64(2)) | (spread(q[:, 1]) << np.uint64(1)) | spread(q[:, 2])
+    return np.argsort(code, kind="stable")
 
 
 # ---------------------------------------------------------------------------

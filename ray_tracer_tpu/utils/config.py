@@ -50,6 +50,15 @@ class RenderParams:
     # materializes O(chunk × primitives) in HBM; the Pallas backend tiles
     # internally and can take the whole frame.
     chunk_pixels: int = 0
+    # Wavefront compaction: sort rays between bounces by (alive, direction
+    # octant, Morton cell of origin) so the Pallas kernel's 128-ray tiles
+    # stay spatially coherent (cluster culling) and dead rays collapse into
+    # whole tiles that skip all work. Ignored by the jnp backend.
+    # Default off: measured on TPU v5e (1080p teapot), the per-bounce
+    # argsort+permute costs more than the extra tile coherence saves; the
+    # kernel's own alive-masking already skips dead work. Enable for
+    # heavily-occluded scenes with long bounce chains.
+    compaction: bool = False
 
     def __post_init__(self):
         if self.width <= 0 or self.height <= 0:

@@ -77,6 +77,33 @@ def test_all_miss():
     assert np.isinf(np.asarray(t)).all()
 
 
+def test_alive_mask_dead_lanes_miss():
+    scene, _ = rt.builtin_scene("room", pad=128)
+    o, d = _random_rays(256, seed=9)
+    alive = jnp.asarray(np.arange(256) % 2 == 0)
+    t, pid = nearest_hit_pallas(scene, o, d, alive=alive, interpret=INTERPRET)
+    t_ref, _ = nearest_hit_jnp(scene, o, d, 1e-4)
+    t, t_ref = np.asarray(t), np.asarray(t_ref)
+    # dead lanes always miss; live lanes match the oracle
+    assert np.isinf(t[1::2]).all()
+    np.testing.assert_allclose(t[0::2][np.isfinite(t[0::2])],
+                               t_ref[0::2][np.isfinite(t[0::2])], rtol=3e-4)
+
+
+def test_morton_sort_preserves_images():
+    verts = np.random.default_rng(11).normal(size=(60, 3, 3)) * 3
+    def build(sort):
+        b = rt.SceneBuilder()
+        for t in verts:
+            b.add_mesh(t, np.ones((3, 3)), [0, 1, 2])
+        return b.build(pad=128, sort_tris=sort)
+    s1, s2 = build(False), build(True)
+    o, d = _random_rays(128, seed=12)
+    t1, _ = nearest_hit_jnp(s1, o, d, 1e-4)
+    t2, _ = nearest_hit_jnp(s2, o, d, 1e-4)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=1e-6)
+
+
 def test_renderer_pallas_backend_matches_jnp():
     scene, cam = rt.builtin_scene("room", aspect=1.0)
     basis = rt.camera_basis(cam)
@@ -90,8 +117,8 @@ def test_renderer_pallas_backend_matches_jnp():
     if INTERPRET:
         # route backend="pallas" through interpret mode for the CPU harness
         orig = pk.nearest_hit_pallas
-        pk_interp = lambda scene, o, d, t_min=1e-4: orig(
-            scene, o, d, t_min, interpret=True)
+        pk_interp = lambda scene, o, d, t_min=1e-4, alive=None: orig(
+            scene, o, d, t_min, alive=alive, interpret=True)
         try:
             setattr(pk, "nearest_hit_pallas", pk_interp)
             p_p = rt.RenderParams(width=16, height=16, bounces=2, skybox=True,

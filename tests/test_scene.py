@@ -52,12 +52,17 @@ def test_mesh_translation_baked():
 
 def test_room_light_mesh_offset():
     """The emissive ceiling quad sits at pos (3, 1.9, 0) (scene.rs:286-293):
-    light triangle vertices must be near y = 1 + 1.9."""
+    light triangle vertices must be near y = 1 + 1.9. (Triangles are
+    Morton-reordered at build, so select the light by emission strength.)"""
     s, _ = rt.builtin_scene("room")
-    v0 = np.asarray(s.tri_v0[12:14])  # last 2 tris = light quad
-    np.testing.assert_allclose(v0[:, 1], 2.9, atol=1e-5)
     es = np.asarray(s.tri_emission_strength)
-    assert es[12] == 10.5 and es[13] == 10.5 and es[:12].max() == 0.0
+    light = np.where(es == 10.5)[0]
+    assert len(light) == 2
+    v0 = np.asarray(s.tri_v0)[light]
+    np.testing.assert_allclose(v0[:, 1], 2.9, atol=1e-5)
+    others = np.asarray(s.tri_valid) > 0.5
+    others[light] = False
+    assert es[others].max() == 0.0
 
 
 def test_random_balls_seeded_reproducible():
