@@ -36,6 +36,12 @@ def _add_common(p):
     p.add_argument("--skybox", action="store_true")
     p.add_argument("--no-accumulate", action="store_true")
     p.add_argument("--backend", default="auto", choices=["auto", "jnp", "pallas"])
+    p.add_argument("--nee", action="store_true",
+                   help="next-event estimation (explicit light sampling)")
+    p.add_argument("--cosine-sampling", action="store_true",
+                   help="cosine-weighted Lambertian sampling (extension)")
+    p.add_argument("--compaction", action="store_true",
+                   help="wavefront ray sorting between bounces")
     p.add_argument("--chunk-pixels", type=int, default=0)
     p.add_argument("--seed", type=int, default=0, help="random_balls scene seed")
 
@@ -45,7 +51,8 @@ def _build(args):
         width=args.width, height=args.height, bounces=args.bounces,
         rays_per_pixel=args.rays_per_pixel, skybox=args.skybox,
         accumulate=not args.no_accumulate, backend=args.backend,
-        chunk_pixels=args.chunk_pixels)
+        chunk_pixels=args.chunk_pixels, nee=args.nee,
+        cosine_sampling=args.cosine_sampling, compaction=args.compaction)
     if args.model:
         import numpy as _np
         b = SceneBuilder()
@@ -65,12 +72,20 @@ def _build(args):
 
 def cmd_render(args):
     scene, cam, params = _build(args)
-    r = Renderer(scene, cam, params)
+    if args.resume:
+        from .utils.checkpoint import load_renderer
+        r = load_renderer(args.resume, scene)
+    else:
+        r = Renderer(scene, cam, params)
     t0 = time.time()
     for i in range(args.frames):
         img = r.step()
     img.block_until_ready()
     dt = time.time() - t0
+    if args.checkpoint:
+        from .utils.checkpoint import save_renderer
+        save_renderer(args.checkpoint, r)
+        print(f"checkpoint -> {args.checkpoint}", file=sys.stderr)
     print(f"rendered {args.frames} frame(s) at {params.width}x{params.height} "
           f"in {dt:.2f}s ({args.frames / dt:.2f} fps)", file=sys.stderr)
     if args.output.endswith(".npy"):
@@ -99,6 +114,58 @@ def cmd_benchmark(args):
     }))
 
 
+def cmd_view(args):
+    scene, cam, params = _build(args)
+    from .viewer import view
+    sid = None if args.model else args.scene
+    view(scene, cam, params, scene_id=sid, max_frames=args.max_frames)
+
+
+def cmd_invert(args):
+    """Inverse rendering demo (BASELINE config 5 scaled to the built-ins):
+    perturb the scene's sphere albedos, then recover them from a rendered
+    target by gradient descent with the differentiable renderer."""
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from . import camera_basis
+    from .grad import make_train_step
+    from .renderer import render_frame
+
+    scene, cam, params = _build(args)
+    basis = camera_basis(cam.replace(aspect=params.aspect))
+    target = render_frame(scene, basis, params, jnp.int32(0))
+
+    rng = np.random.default_rng(0)
+    # dielectric albedo is forced white in shading (wgsl:241) — it cannot
+    # affect the image, so it is excluded from recovery
+    valid = ((np.asarray(scene.sphere_valid) > 0.5)
+             & (np.asarray(scene.sphere_smoothness) >= 0.0))
+    wrong_np = np.asarray(scene.sphere_albedo).copy()
+    wrong_np[valid] = np.clip(
+        wrong_np[valid] + rng.normal(0, 0.25, (valid.sum(), 3)), 0.05, 0.95)
+    import dataclasses
+    start = dataclasses.replace(scene,
+                                sphere_albedo=jnp.asarray(wrong_np, jnp.float32))
+
+    init_fn, step_fn = make_train_step(params, optax.adam(args.lr))
+    trainable, opt_state = init_fn(start, fields=("sphere_albedo",))
+    t0 = time.time()
+    for i in range(args.steps):
+        trainable, opt_state, loss = step_fn(
+            trainable, opt_state, start, basis, target, jnp.int32(0))
+        if i % max(1, args.steps // 10) == 0:
+            print(f"step {i:4d}  loss {float(loss):.6f}", file=sys.stderr)
+    err = float(np.abs(np.asarray(trainable["sphere_albedo"])[valid]
+                       - np.asarray(scene.sphere_albedo)[valid]).max())
+    print(json.dumps({
+        "steps": args.steps, "seconds": round(time.time() - t0, 2),
+        "final_loss": float(loss), "max_albedo_error": err,
+        "recovered": err < 0.1,
+    }))
+
+
 def cmd_info(args):
     import jax
     print(json.dumps({
@@ -117,7 +184,23 @@ def main(argv=None):
     p.add_argument("--frames", type=int, default=1,
                    help="progressive frames to accumulate")
     p.add_argument("-o", "--output", default="out.png")
+    p.add_argument("--checkpoint", default=None,
+                   help="save accumulation state to this .npz when done")
+    p.add_argument("--resume", default=None,
+                   help="resume accumulation from a checkpoint .npz")
     p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("view", help="interactive progressive viewer (GUI)")
+    _add_common(p)
+    p.add_argument("--max-frames", type=int, default=None)
+    p.set_defaults(fn=cmd_view)
+
+    p = sub.add_parser("invert", help="inverse-rendering demo: recover sphere"
+                       " albedos of a built-in scene from a target render")
+    _add_common(p)
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--lr", type=float, default=5e-2)
+    p.set_defaults(fn=cmd_invert)
 
     p = sub.add_parser("benchmark", help="measure rays/s")
     _add_common(p)

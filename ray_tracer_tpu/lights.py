@@ -1,0 +1,147 @@
+"""Explicit light sampling (next-event estimation).
+
+An extension beyond the reference (which only finds light by randomly
+scattering into it — shaders/ray_tracer.wgsl:271; BASELINE config 4 names
+NEE as a target capability). Defaults OFF (`RenderParams.nee`) so reference
+behavior is untouched.
+
+Estimator consistency: the reference's implicit transport multiplies
+throughput by albedo per bounce while sampling directions uniformly on the
+hemisphere (pdf = 1/2π), i.e. an effective BRDF f = albedo/(2π) per
+steradian with no cosine factor. NEE here integrates THE SAME f over the
+light's solid angle — `albedo/(2π) · Le · area·|cos_l|/d²` — so enabling
+NEE reduces variance without changing the converged image. With
+`RenderParams.cosine_sampling` the BRDF becomes true Lambertian
+(f = albedo·cos/π) in both estimators.
+
+Double-count suppression: when a bounce performed NEE, emission found by
+the NEXT BSDF segment is not counted again (dielectric lanes can't NEE, so
+their specular paths still pick up emission). Light table is a fixed-size
+(MAX_LIGHTS) pytree selected by emitted power — fully static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import sampling
+from .scene import Scene
+
+MAX_LIGHTS = 16
+TWO_PI = np.float32(2.0 * np.pi)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LightTable:
+    kind: jax.Array       # (L,) int32: 0=sphere, 1=triangle
+    index: jax.Array      # (L,) int32 into the scene's padded arrays
+    emission: jax.Array   # (L, 3) emission_color * emission_strength
+    area: jax.Array       # (L,)
+    prim_id: jax.Array    # (L,) global prim id (for self-hit exclusion)
+    cdf: jax.Array        # (L,) normalized inclusive power CDF
+    has_lights: jax.Array # () bool
+
+
+def build_light_table(scene: Scene) -> LightTable:
+    """Select the MAX_LIGHTS highest-power emitters (jnp; hoisted by XLA)."""
+    SP = scene.padded_spheres
+    s_pow_mask = (scene.sphere_valid > 0.5) & (scene.sphere_emission_strength > 0.0)
+    s_area = 4.0 * np.pi * scene.sphere_radius ** 2
+    s_emit = scene.sphere_emission * scene.sphere_emission_strength[:, None]
+    s_power = jnp.where(s_pow_mask, jnp.mean(s_emit, 1) * s_area, 0.0)
+
+    e1 = scene.tri_v1 - scene.tri_v0
+    e2 = scene.tri_v2 - scene.tri_v0
+    t_area = 0.5 * jnp.linalg.norm(jnp.cross(e1, e2), axis=-1)
+    t_pow_mask = (scene.tri_valid > 0.5) & (scene.tri_emission_strength > 0.0)
+    t_emit = scene.tri_emission * scene.tri_emission_strength[:, None]
+    t_power = jnp.where(t_pow_mask, jnp.mean(t_emit, 1) * t_area, 0.0)
+
+    power = jnp.concatenate([s_power, t_power])
+    emit = jnp.concatenate([s_emit, t_emit])
+    area = jnp.concatenate([s_area, t_area])
+    n = power.shape[0]
+    top = jax.lax.top_k(power, min(MAX_LIGHTS, n))[1]
+    top_power = power[top]
+    kind = (top >= SP).astype(jnp.int32)
+    index = jnp.where(top >= SP, top - SP, top).astype(jnp.int32)
+
+    total = jnp.sum(top_power)
+    has = total > 0.0
+    cdf = jnp.cumsum(top_power) / jnp.where(has, total, 1.0)
+    return LightTable(kind=kind, index=index, emission=emit[top],
+                      area=area[top], prim_id=top.astype(jnp.int32), cdf=cdf,
+                      has_lights=has)
+
+
+def sample_lights(lights: LightTable, scene: Scene, state, p):
+    """Sample one light point per lane.
+
+    Args:
+      lights: LightTable. scene: Scene. state: (R,) uint32. p: (R, 3) hit
+      points (shadow-ray origins).
+
+    Returns (state, dict) with: wi (R,3) unnormalized direction to the light
+    point, dist (R,), radiance (R,3) Le, inv_pdf_w (R,) solid-angle measure
+    `area·|cos_l|/d² / P(light)`, light_prim (R,) global prim id, ok (R,)
+    bool (a light was sampled and is front-facing).
+    """
+    L = lights.cdf.shape[0]
+    state, u = sampling.uniform(state)
+    # CDF inversion by compare-count (L is tiny)
+    li = jnp.sum(u[:, None] > lights.cdf[None, :], axis=1).astype(jnp.int32)
+    li = jnp.clip(li, 0, L - 1)
+    # selection probability of each light
+    cdf_prev = jnp.concatenate([jnp.zeros((1,), lights.cdf.dtype),
+                                lights.cdf[:-1]])
+    p_light = (lights.cdf - cdf_prev)[li]
+
+    kind = lights.kind[li]
+    idx = lights.index[li]
+
+    # sphere light: uniform point on the surface
+    c = scene.sphere_center[idx]
+    r = scene.sphere_radius[idx]
+    state, sdir = sampling.unit_sphere(state)
+    p_sphere = c + sdir * r[:, None]
+    n_sphere = sdir
+
+    # triangle light: uniform barycentric point
+    v0, v1, v2 = scene.tri_v0[idx], scene.tri_v1[idx], scene.tri_v2[idx]
+    state, u1 = sampling.uniform(state)
+    state, u2 = sampling.uniform(state)
+    su = jnp.sqrt(jnp.maximum(u1, 1e-12))
+    b0 = 1.0 - su
+    b1 = su * (1.0 - u2)
+    b2 = su * u2
+    p_tri = v0 * b0[:, None] + v1 * b1[:, None] + v2 * b2[:, None]
+    ng = jnp.cross(v1 - v0, v2 - v0)
+    n_tri = ng / jnp.maximum(jnp.linalg.norm(ng, axis=-1, keepdims=True), 1e-12)
+
+    is_tri = kind == 1
+    lp = jnp.where(is_tri[:, None], p_tri, p_sphere)
+    ln = jnp.where(is_tri[:, None], n_tri, n_sphere)
+
+    wi = lp - p
+    d2 = jnp.sum(wi * wi, axis=-1)
+    dist = jnp.sqrt(jnp.maximum(d2, 1e-20))
+    wi_unit = wi / dist[:, None]
+    # cos at the light: only points whose emitting face looks toward the
+    # shading point contribute (back-face sphere samples would be blocked
+    # by the light itself anyway; zeroing them here is identical and
+    # cheaper — uniform-area sampling over the full sphere stays unbiased)
+    cos_l = jnp.sum(-wi_unit * ln, axis=-1)
+    front = cos_l > 1e-6
+
+    area = lights.area[li]
+    inv_pdf_w = (area * jnp.abs(cos_l) / jnp.maximum(d2, 1e-20)
+                 / jnp.maximum(p_light, 1e-12))
+    ok = lights.has_lights & front & (p_light > 0.0)
+    return state, dict(wi=wi, dist=dist, radiance=lights.emission[li],
+                       inv_pdf_w=inv_pdf_w, light_prim=lights.prim_id[li],
+                       ok=ok)

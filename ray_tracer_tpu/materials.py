@@ -50,7 +50,7 @@ def schlick_reflectance(cosine, refraction_ratio):
     return r0 + (1.0 - r0) * jnp.power(1.0 - cosine, 5.0)
 
 
-def scatter(state, d, normal, smoothness):
+def scatter(state, d, normal, smoothness, cosine_sampling: bool = False):
     """Compute the scattered direction for every lane.
 
     Args:
@@ -72,7 +72,16 @@ def scatter(state, d, normal, smoothness):
     is_dielectric = smoothness < 0.0
 
     # --- diffuse ⊕ glossy path -------------------------------------------
-    state, diffuse_dir = sampling.hemisphere(state, normal)
+    if cosine_sampling:
+        # cosine-weighted (RTiOW Lambertian): normalize(n + unit_sphere);
+        # with throughput *= albedo this realizes f = albedo·cos/π
+        state, sph = sampling.unit_sphere(state)
+        v = normal + sph
+        n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+        diffuse_dir = jnp.where(n2 > 1e-12, v / jnp.sqrt(jnp.maximum(n2, 1e-12)),
+                                normal)
+    else:
+        state, diffuse_dir = sampling.hemisphere(state, normal)
     specular_dir = reflect(unit_d, normal)
     s = jnp.clip(smoothness, 0.0, 1.0)[..., None]
     glossy_dir = diffuse_dir * (1.0 - s) + specular_dir * s

@@ -195,6 +195,24 @@ def hit_attributes(scene: Scene, o, d, prim_id, miss, t_min):
 # Dispatch
 # ---------------------------------------------------------------------------
 
+def occluded(scene: Scene, o, d, t_min=1e-4, backend: str = "jnp",
+             alive=None):
+    """Shadow query: True where some primitive blocks the segment o → o+d
+    (i.e. closest hit at t < 1-ε in units of |d|). Skips the attribute
+    gathers of a full intersect; non-differentiable by design (visibility
+    gradients need edge sampling — see docs)."""
+    if backend == "auto":
+        backend = "pallas" if jax.devices()[0].platform == "tpu" else "jnp"
+    o_s, d_s = jax.lax.stop_gradient(o), jax.lax.stop_gradient(d)
+    scene_s = jax.lax.stop_gradient(scene)
+    if backend == "pallas":
+        from .pallas_intersect import nearest_hit_pallas
+        best_t, _ = nearest_hit_pallas(scene_s, o_s, d_s, t_min, alive=alive)
+    else:
+        best_t, _ = nearest_hit_jnp(scene_s, o_s, d_s, t_min)
+    return best_t < (1.0 - 1e-3)
+
+
 def intersect(scene: Scene, o, d, t_min=1e-4, backend: str = "jnp",
               alive=None) -> Hit:
     """Full closest-hit query → Hit. ``backend``: "jnp" | "pallas" | "auto".

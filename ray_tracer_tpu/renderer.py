@@ -34,9 +34,13 @@ import numpy as np
 from . import materials, sampling
 from .camera import Camera, CameraBasis, camera_basis, camera_rays
 from .envlight import environment_light
-from .ops.intersect import intersect
+from .lights import build_light_table, sample_lights
+from .ops.intersect import intersect, occluded
 from .scene import Scene
 from .utils.config import RenderParams
+
+_INV_2PI = 1.0 / (2.0 * np.pi)
+_INV_PI = 1.0 / np.pi
 
 
 def resolved_backend(params: RenderParams) -> str:
@@ -105,31 +109,35 @@ def trace(scene: Scene, o, d, state, params: RenderParams):
     compacting = params.compaction and resolved_backend(params) == "pallas"
     if compacting:
         aabb_lo, aabb_hi = _scene_aabb(scene)
+    if params.nee:
+        light_table = build_light_table(scene)
     # Initial carries are derived from the ray arrays (o * 0) rather than
     # fresh constants so that under shard_map they inherit the rays'
     # varying-axes type (lax.scan requires carry-in/out types to match);
     # XLA constant-folds the arithmetic.
     zero3 = o * 0.0
     slot = state * 0 + jnp.arange(R, dtype=jnp.uint32)  # original ray slot
+    all_true = zero3[:, 0] == 0.0
     init = (
         o, d,
         zero3 + 1.0,                      # throughput (ray_color, wgsl:231)
         zero3,                            # incoming light
-        zero3[:, 0] == 0.0,               # alive (all True)
+        all_true,                         # alive
+        all_true,                         # emission_ok (NEE double-count guard)
         state,
         slot,
     )
 
-    def bounce(carry, _):
-        o, d, throughput, incoming, alive, state, slot = carry
+    def bounce(carry, seg_index):
+        o, d, throughput, incoming, alive, emission_ok, state, slot = carry
         if compacting:
             # wavefront compaction: group live rays by direction octant +
             # origin Morton cell so kernel tiles stay coherent; dead rays
             # collapse into whole tiles the kernel skips entirely
             order = jnp.argsort(_ray_sort_key(aabb_lo, aabb_hi, o, d, alive))
-            o, d, throughput, incoming, alive, state, slot = (
-                x[order] for x in (o, d, throughput, incoming, alive, state,
-                                   slot))
+            o, d, throughput, incoming, alive, emission_ok, state, slot = (
+                x[order] for x in (o, d, throughput, incoming, alive,
+                                   emission_ok, state, slot))
         h = intersect(scene, o, d, t_min=params.t_min, backend=params.backend,
                       alive=alive)
         active_hit = alive & h.hit
@@ -137,14 +145,53 @@ def trace(scene: Scene, o, d, state, params: RenderParams):
 
         # Scatter every lane (branchless); only active-hit lanes keep results.
         state, new_dir, is_dielectric = materials.scatter(
-            state, d, h.normal, h.smoothness)
+            state, d, h.normal, h.smoothness,
+            cosine_sampling=params.cosine_sampling)
 
         # Dielectric forces white albedo (wgsl:241).
         albedo = jnp.where(is_dielectric[:, None], 1.0, h.albedo)
 
         emitted = h.emission * h.emission_strength[:, None]
+        count_emission = (active_hit & emission_ok if params.nee
+                          else active_hit)
         incoming = incoming + jnp.where(
-            active_hit[:, None], emitted * throughput, 0.0)
+            count_emission[:, None], emitted * throughput, 0.0)
+
+        if params.nee:
+            # Next-event estimation: sample a light + shadow ray, add the
+            # direct term under the SAME implicit BRDF as path scattering
+            # (see lights.py docstring), then suppress the next segment's
+            # BSDF-found emission on lanes that just did NEE.
+            state, ls = sample_lights(light_table, scene, state, h.point)
+            wi_unit = ls["wi"] / jnp.maximum(ls["dist"], 1e-12)[:, None]
+            cos_s = jnp.sum(wi_unit * h.normal, axis=-1)
+            # No NEE at the deepest vertex: its direct term stands in for
+            # the NEXT BSDF segment, which the depth budget would never
+            # trace — sampling it would add a bounce of light the
+            # BSDF-only estimator cannot see (depth-parity bias).
+            not_last = seg_index < params.bounces
+            # `attempted` = lanes whose direct integral NEE now owns. A
+            # back-facing / occluded sample is a legitimate ZERO-valued
+            # sample of that integral — those lanes must STILL suppress
+            # the next BSDF emission, else direct light is double-counted
+            # (~1.7x bright, measured).
+            # mirrors (smoothness >= cutoff) keep pure BSDF sampling; the
+            # diffuse NEE estimator is exact at s=0 and an approximation
+            # for glossy blends (see RenderParams.nee docs)
+            nee_material = h.smoothness < params.nee_smoothness_cutoff
+            attempted = (active_hit & ~is_dielectric & nee_material
+                         & not_last & light_table.has_lights)
+            nee_lane = attempted & ls["ok"] & (cos_s > 0.0)
+            blocked = occluded(scene, h.point, ls["wi"], t_min=params.t_min,
+                               backend=params.backend, alive=nee_lane)
+            if params.cosine_sampling:
+                brdf = albedo * (jnp.maximum(cos_s, 0.0) * _INV_PI)[:, None]
+            else:
+                brdf = albedo * _INV_2PI
+            direct = brdf * ls["radiance"] * ls["inv_pdf_w"][:, None]
+            incoming = incoming + jnp.where(
+                (nee_lane & ~blocked)[:, None], direct * throughput, 0.0)
+            emission_ok = ~attempted
         throughput = jnp.where(active_hit[:, None], throughput * albedo, throughput)
 
         if params.skybox:
@@ -154,12 +201,14 @@ def trace(scene: Scene, o, d, state, params: RenderParams):
         o = jnp.where(active_hit[:, None], h.point, o)
         d = jnp.where(active_hit[:, None], new_dir, d)
         alive = active_hit
-        return (o, d, throughput, incoming, alive, state, slot), None
+        return (o, d, throughput, incoming, alive, emission_ok, state,
+                slot), None
 
     # Inclusive loop: bounces+1 segments, matching `i <= number_of_bounces`
     # (wgsl:233; SURVEY quirk Q3 — kept, it defines the reference's look).
-    (o, d, throughput, incoming, alive, state, slot), _ = jax.lax.scan(
-        bounce, init, None, length=params.bounces + 1)
+    (o, d, throughput, incoming, alive, emission_ok, state, slot), _ = \
+        jax.lax.scan(bounce, init,
+                     jnp.arange(params.bounces + 1, dtype=jnp.int32))
     if compacting:
         # scatter radiance (and RNG state) back to original ray slots
         incoming = jnp.zeros_like(incoming).at[slot].set(incoming)

@@ -59,6 +59,20 @@ class RenderParams:
     # kernel's own alive-masking already skips dead work. Enable for
     # heavily-occluded scenes with long bounce chains.
     compaction: bool = False
+    # Next-event estimation: explicitly sample emissive primitives with a
+    # shadow ray at each diffuse/glossy hit (lights.py). Extension beyond
+    # the reference (BASELINE config 4); costs one extra intersection per
+    # bounce. Exact (same converged image) for diffuse surfaces; for glossy
+    # blends (0 < smoothness < cutoff) the direct term uses the diffuse
+    # approximation — a documented bias traded for large variance
+    # reduction. Surfaces with smoothness >= nee_smoothness_cutoff (e.g.
+    # mirrors) always use pure BSDF sampling.
+    nee: bool = False
+    nee_smoothness_cutoff: float = 1.0
+    # Cosine-weighted hemisphere sampling (true Lambertian BRDF) instead of
+    # the reference's uniform-hemisphere scatter (wgsl:211-214). Changes
+    # the converged look (documented extension; default = reference).
+    cosine_sampling: bool = False
 
     def __post_init__(self):
         if self.width <= 0 or self.height <= 0:

@@ -1,0 +1,157 @@
+"""Interactive progressive viewer.
+
+The TPU-side analog of the reference's winit window + imgui overlay
+(src/lib.rs:23-69, src/core/imgui.rs): a matplotlib window displays the
+progressive accumulation while keyboard/mouse drive the same fly-camera
+controller (camera.CameraController) and the same knob set the imgui panel
+exposes (src/core/context.rs:230-258) — bounces, rays/pixel, skybox,
+accumulate, scene switching 0-3. Any input clears the accumulation, exactly
+like Context::input (src/core/context.rs:148-175).
+
+Keys: W/A/S/D move, Space/Z up/down, arrow keys look, scroll zoom,
+mouse-drag look, 0-3 switch built-in scene, B/b bounces +/-, R/r rays per
+pixel +/-, K toggle skybox, C toggle accumulate, P save PNG, Q quit.
+
+Headless environments: raises RuntimeError early if no GUI backend works —
+use the CLI `render` command instead.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from .camera import CameraController, update_camera
+from .io.image import to_uint8
+from .renderer import Renderer
+from .scene import SCENE_IDS, builtin_scene
+from .utils.config import RenderParams
+
+
+class Viewer:
+    """Progressive interactive viewer around a Renderer."""
+
+    def __init__(self, scene, camera, params: RenderParams, scene_id=None):
+        import matplotlib
+        import matplotlib.pyplot as plt
+
+        self.plt = plt
+        self.renderer = Renderer(scene, camera, params)
+        self.controller = CameraController()
+        self.scene_id = scene_id
+        self._drag_origin = None
+        self._running = True
+        self._dt = 1.0 / 30.0
+
+        self.fig, self.ax = plt.subplots(
+            figsize=(params.width / 100, params.height / 100))
+        self.ax.set_axis_off()
+        self.fig.subplots_adjust(0, 0, 1, 1)
+        self.im = None
+        self.fig.canvas.mpl_connect("key_press_event", self._on_key)
+        self.fig.canvas.mpl_connect("scroll_event", self._on_scroll)
+        self.fig.canvas.mpl_connect("button_press_event", self._on_press)
+        self.fig.canvas.mpl_connect("button_release_event", self._on_release)
+        self.fig.canvas.mpl_connect("motion_notify_event", self._on_motion)
+        self.fig.canvas.mpl_connect("close_event", lambda e: self._stop())
+
+    # -- input routing (Context::input analog, context.rs:148-175) --------
+
+    def _apply_camera(self):
+        cam = update_camera(self.renderer.camera, self.controller, self._dt)
+        for a in ("amount_forward", "amount_backward", "amount_left",
+                  "amount_right", "amount_up", "amount_down"):
+            setattr(self.controller, a, 0.0)
+        self.renderer.set_camera(cam)  # clears accumulation
+
+    def _on_key(self, event):
+        k = (event.key or "").lower()
+        moved = self.controller.press(
+            {"z": "shift", " ": "space"}.get(k, k), True)
+        if moved:
+            self._apply_camera()
+            return
+        p = self.renderer.params
+        if k in "0123":
+            scene, cam = builtin_scene(int(k), aspect=p.aspect)
+            self.renderer.set_scene(scene)
+            self.renderer.set_camera(cam)
+            self.scene_id = int(k)
+        elif k == "b":
+            delta = 1 if event.key == "B" else -1
+            self.renderer.set_params(p.replace(bounces=max(0, p.bounces + delta)))
+        elif k == "r":
+            delta = 1 if event.key == "R" else -1
+            self.renderer.set_params(
+                p.replace(rays_per_pixel=max(1, p.rays_per_pixel + delta)))
+        elif k == "k":
+            self.renderer.set_params(p.replace(skybox=not p.skybox))
+        elif k == "c":
+            self.renderer.set_params(p.replace(accumulate=not p.accumulate))
+        elif k == "p":
+            fname = f"frame_{int(time.time())}.png"
+            from .io.image import write_png
+            write_png(fname, self.renderer.image)
+            print(f"saved {fname}")
+        elif k == "q":
+            self._stop()
+
+    def _on_scroll(self, event):
+        self.controller.scroll_by(event.step * 0.5)
+        self._apply_camera()
+
+    def _on_press(self, event):
+        self._drag_origin = (event.x, event.y)
+
+    def _on_release(self, event):
+        self._drag_origin = None
+
+    def _on_motion(self, event):
+        if self._drag_origin is None:
+            return
+        dx = (event.x - self._drag_origin[0]) * 0.02
+        dy = (event.y - self._drag_origin[1]) * 0.02
+        self._drag_origin = (event.x, event.y)
+        self.controller.mouse(dx, dy)
+        self._apply_camera()
+
+    def _stop(self):
+        self._running = False
+
+    # -- frame loop (run() analog, src/lib.rs:23-69) -----------------------
+
+    def run(self, max_frames=None):
+        self.plt.ion()
+        self.fig.show()
+        n = 0
+        while self._running and (max_frames is None or n < max_frames):
+            t0 = time.time()
+            img = self.renderer.step()
+            rgb = to_uint8(np.asarray(img))
+            if self.im is None:
+                self.im = self.ax.imshow(rgb)
+            else:
+                self.im.set_data(rgb)
+            dt = time.time() - t0
+            self._dt = max(dt, 1e-3)
+            self.ax.set_title(
+                f"frame {self.renderer.frames}  {dt*1e3:.0f} ms  "
+                f"scene {self.scene_id if self.scene_id is not None else '-'}",
+                fontsize=8)
+            self.fig.canvas.draw_idle()
+            self.fig.canvas.flush_events()
+            n += 1
+        self.plt.ioff()
+
+
+def view(scene, camera, params: RenderParams, scene_id=None, max_frames=None):
+    """Open an interactive viewer window. Raises if no GUI is available."""
+    import matplotlib
+    if matplotlib.get_backend().lower() in ("agg", "pdf", "svg", "ps"):
+        raise RuntimeError(
+            "no interactive matplotlib backend available (headless?); "
+            "use `python -m ray_tracer_tpu render` instead")
+    v = Viewer(scene, camera, params, scene_id=scene_id)
+    v.run(max_frames=max_frames)
+    return v
