@@ -33,12 +33,16 @@ import numpy as np
 
 @dataclasses.dataclass
 class MeshData:
-    """One loaded primitive: positions/normals (N, 3) f32, indices (M,) u32."""
+    """One loaded primitive: positions/normals (N, 3) f32, indices (M,) u32,
+    optional uvs (N, 2) (v-down convention) and a material dict with keys
+    ``kd`` (3,), ``diffuse_image``/``normal_image`` (H, W, 3|4 arrays)."""
 
     name: str
     positions: np.ndarray
     normals: np.ndarray
     indices: np.ndarray
+    uvs: Optional[np.ndarray] = None
+    material: Optional[dict] = None
 
     @property
     def num_triangles(self) -> int:
@@ -49,19 +53,58 @@ class MeshData:
 # OBJ
 # ---------------------------------------------------------------------------
 
+def _load_mtl(path: str) -> Dict[str, dict]:
+    """Minimal MTL parser: Kd tint + map_Kd / map_Bump image paths
+    (the keys the reference's assets use — assets/cube.mtl)."""
+    mats: Dict[str, dict] = {}
+    cur: Optional[dict] = None
+    base = os.path.dirname(path)
+
+    def load_image(fname):
+        from PIL import Image
+        fp = os.path.join(base, fname)
+        if not os.path.exists(fp):
+            return None
+        return np.asarray(Image.open(fp).convert("RGB"))
+
+    try:
+        with open(path, "r", encoding="utf-8", errors="replace") as f:
+            for line in f:
+                parts = line.strip().split()
+                if not parts:
+                    continue
+                tag = parts[0].lower()
+                if tag == "newmtl":
+                    cur = mats.setdefault(parts[1], {})
+                elif cur is None:
+                    continue
+                elif tag == "kd":
+                    cur["kd"] = tuple(float(x) for x in parts[1:4])
+                elif tag == "map_kd":
+                    cur["diffuse_image"] = load_image(parts[-1])
+                elif tag in ("map_bump", "bump", "norm", "map_norm"):
+                    cur["normal_image"] = load_image(parts[-1])
+    except OSError:
+        pass
+    return mats
+
+
 def load_obj(path: str) -> List[MeshData]:
     """Parse a Wavefront OBJ into per-object MeshData (triangulated,
-    single-indexed)."""
+    single-indexed, with UVs + MTL material when present)."""
     positions: List[Tuple[float, float, float]] = []
     normals: List[Tuple[float, float, float]] = []
-    objects: List[Tuple[str, List[List[Tuple[int, Optional[int]]]]]] = []
-    faces: List[List[Tuple[int, Optional[int]]]] = []
+    uvs: List[Tuple[float, float]] = []
+    objects: List[Tuple[str, str, list]] = []
+    faces: list = []
     name = "default"
+    materials: Dict[str, dict] = {}
+    cur_mtl = ""
 
     def flush():
         nonlocal faces, name
         if faces:
-            objects.append((name, faces))
+            objects.append((name, cur_mtl, faces))
             faces = []
 
     with open(path, "r", encoding="utf-8", errors="replace") as f:
@@ -75,6 +118,16 @@ def load_obj(path: str) -> List[MeshData]:
                 positions.append(tuple(float(x) for x in parts[1:4]))
             elif tag == "vn":
                 normals.append(tuple(float(x) for x in parts[1:4]))
+            elif tag == "vt":
+                # OBJ vt is bottom-left origin; internal convention is
+                # v-down (texture.py) -> flip v
+                u, v = float(parts[1]), float(parts[2]) if len(parts) > 2 else 0.0
+                uvs.append((u, 1.0 - v))
+            elif tag == "mtllib":
+                materials.update(_load_mtl(
+                    os.path.join(os.path.dirname(path), parts[1])))
+            elif tag == "usemtl":
+                cur_mtl = parts[1] if len(parts) > 1 else ""
             elif tag in ("o", "g"):
                 flush()
                 name = parts[1] if len(parts) > 1 else "unnamed"
@@ -84,11 +137,15 @@ def load_obj(path: str) -> List[MeshData]:
                     fields = tok.split("/")
                     vi = int(fields[0])
                     vi = vi - 1 if vi > 0 else len(positions) + vi
+                    ti = None
+                    if len(fields) >= 2 and fields[1]:
+                        t = int(fields[1])
+                        ti = t - 1 if t > 0 else len(uvs) + t
                     ni = None
                     if len(fields) >= 3 and fields[2]:
                         n = int(fields[2])
                         ni = n - 1 if n > 0 else len(normals) + n
-                    corners.append((vi, ni))
+                    corners.append((vi, ti, ni))
                 # fan triangulation (tobj `triangulate: true`)
                 for k in range(1, len(corners) - 1):
                     faces.append([corners[0], corners[k], corners[k + 1]])
@@ -97,11 +154,14 @@ def load_obj(path: str) -> List[MeshData]:
     pos_arr = np.asarray(positions, np.float32).reshape(-1, 3)
     nrm_arr = (np.asarray(normals, np.float32).reshape(-1, 3)
                if normals else np.zeros((0, 3), np.float32))
+    uv_arr = (np.asarray(uvs, np.float32).reshape(-1, 2)
+              if uvs else np.zeros((0, 2), np.float32))
 
     out = []
-    for obj_name, obj_faces in objects:
-        remap: Dict[Tuple[int, Optional[int]], int] = {}
+    for obj_name, mtl_name, obj_faces in objects:
+        remap: Dict[tuple, int] = {}
         v_out: List[int] = []
+        t_out: List[Optional[int]] = []
         n_out: List[Optional[int]] = []
         idx_out: List[int] = []
         for tri in obj_faces:
@@ -109,15 +169,21 @@ def load_obj(path: str) -> List[MeshData]:
                 if key not in remap:
                     remap[key] = len(v_out)
                     v_out.append(key[0])
-                    n_out.append(key[1])
+                    t_out.append(key[1])
+                    n_out.append(key[2])
                 idx_out.append(remap[key])
         p = pos_arr[np.asarray(v_out, np.int64)]
         if all(n is not None for n in n_out) and nrm_arr.size:
             n = nrm_arr[np.asarray(n_out, np.int64)]
         else:
             n = _smooth_normals(p, np.asarray(idx_out, np.uint32))
+        if all(t is not None for t in t_out) and uv_arr.size:
+            uv = uv_arr[np.asarray(t_out, np.int64)]
+        else:
+            uv = None
         out.append(MeshData(obj_name, p, n.astype(np.float32),
-                            np.asarray(idx_out, np.uint32)))
+                            np.asarray(idx_out, np.uint32), uvs=uv,
+                            material=materials.get(mtl_name)))
     return out
 
 
@@ -182,8 +248,55 @@ def _load_gltf_buffers(gltf: dict, base_dir: str, blob: Optional[bytes]) -> List
     return buffers
 
 
+def _load_gltf_image(gltf: dict, buffers: List[bytes], base_dir: str,
+                     image_idx: int) -> Optional[np.ndarray]:
+    """Decode a glTF image (bufferView, data URI, or external file)."""
+    import io as _io
+
+    from PIL import Image
+
+    img = gltf.get("images", [])[image_idx]
+    try:
+        if "bufferView" in img:
+            bv = gltf["bufferViews"][img["bufferView"]]
+            data = buffers[bv["buffer"]]
+            start = bv.get("byteOffset", 0)
+            raw = data[start:start + bv["byteLength"]]
+            return np.asarray(Image.open(_io.BytesIO(raw)).convert("RGB"))
+        uri = img.get("uri", "")
+        if uri.startswith("data:"):
+            raw = base64.b64decode(uri.split(",", 1)[1])
+            return np.asarray(Image.open(_io.BytesIO(raw)).convert("RGB"))
+        return np.asarray(
+            Image.open(os.path.join(base_dir, uri)).convert("RGB"))
+    except Exception:
+        return None
+
+
+def _gltf_material(gltf: dict, buffers: List[bytes], base_dir: str,
+                   mat_idx: Optional[int]) -> Optional[dict]:
+    if mat_idx is None:
+        return None
+    mat = gltf.get("materials", [])[mat_idx]
+    out: dict = {}
+    pbr = mat.get("pbrMetallicRoughness", {})
+    if "baseColorFactor" in pbr:
+        out["kd"] = tuple(pbr["baseColorFactor"][:3])
+    def tex_image(tex_ref):
+        tex = gltf.get("textures", [])[tex_ref["index"]]
+        if "source" not in tex:
+            return None
+        return _load_gltf_image(gltf, buffers, base_dir, tex["source"])
+    if "baseColorTexture" in pbr:
+        out["diffuse_image"] = tex_image(pbr["baseColorTexture"])
+    if "normalTexture" in mat:
+        out["normal_image"] = tex_image(mat["normalTexture"])
+    return out or None
+
+
 def _primitives_to_meshes(gltf: dict, buffers: List[bytes],
-                          mesh_indices: Sequence[int]) -> List[MeshData]:
+                          mesh_indices: Sequence[int],
+                          base_dir: str = "") -> List[MeshData]:
     out = []
     for mi in mesh_indices:
         mesh = gltf["meshes"][mi]
@@ -197,13 +310,21 @@ def _primitives_to_meshes(gltf: dict, buffers: List[bytes],
                 nrm = _read_accessor(gltf, buffers, attrs["NORMAL"]).astype(np.float32)
             else:
                 nrm = None
+            if "TEXCOORD_0" in attrs:
+                uv = _read_accessor(gltf, buffers, attrs["TEXCOORD_0"])
+                uv = np.asarray(uv, np.float32).reshape(-1, 2)
+            else:
+                uv = None
             if "indices" in prim:
                 idx = _read_accessor(gltf, buffers, prim["indices"]).astype(np.uint32)
             else:
                 idx = np.arange(pos.shape[0], dtype=np.uint32)
             if nrm is None:
                 nrm = _smooth_normals(pos, idx)
-            out.append(MeshData(f"{mesh_name}/{pi}", pos, nrm, idx))
+            material = _gltf_material(gltf, buffers, base_dir,
+                                      prim.get("material"))
+            out.append(MeshData(f"{mesh_name}/{pi}", pos, nrm, idx,
+                                uvs=uv, material=material))
     return out
 
 
@@ -219,7 +340,8 @@ def load_gltf(path: str) -> List[MeshData]:
             node = gltf["nodes"][node_idx]
             if "mesh" in node:
                 mesh_indices.append(node["mesh"])
-    return _primitives_to_meshes(gltf, buffers, mesh_indices)
+    return _primitives_to_meshes(gltf, buffers, mesh_indices,
+                                 os.path.dirname(path))
 
 
 def load_glb(path: str) -> List[MeshData]:
@@ -248,7 +370,9 @@ def load_glb(path: str) -> List[MeshData]:
     if gltf_json is None:
         raise ValueError("GLB missing JSON chunk")
     buffers = _load_gltf_buffers(gltf_json, os.path.dirname(path), blob)
-    return _primitives_to_meshes(gltf_json, buffers, range(len(gltf_json.get("meshes", []))))
+    return _primitives_to_meshes(gltf_json, buffers,
+                                 range(len(gltf_json.get("meshes", []))),
+                                 os.path.dirname(path))
 
 
 # ---------------------------------------------------------------------------
@@ -269,7 +393,8 @@ def load_meshes(path: str) -> List[MeshData]:
 def load_model(path: str, builder, *, albedo=(0.2, 0.2, 1.0),
                emission=(0.0, 0.0, 0.0), emission_strength=0.0,
                smoothness=0.5, placement: str = "reference",
-               pos=(0.0, 0.0, 0.0), scale: float = 1.0):
+               pos=(0.0, 0.0, 0.0), scale: float = 1.0,
+               use_textures: bool = True):
     """Load a model file into a SceneBuilder.
 
     ``placement="reference"`` reproduces resource.rs:78-84: primitive i goes
@@ -278,14 +403,34 @@ def load_model(path: str, builder, *, albedo=(0.2, 0.2, 1.0),
     """
     meshes = load_meshes(path)
     base = getattr(builder, "_loaded_mesh_count", 0)
+    tex_cache: dict = {}
+
+    def register(img, srgb):
+        if img is None:
+            return -1
+        key = id(img)
+        if key not in tex_cache:
+            tex_cache[key] = builder.add_texture(img, srgb=srgb)
+        return tex_cache[key]
+
     for i, m in enumerate(meshes):
         if placement == "reference":
             p = (3.0 * (base + i), 0.0, 0.0)
         else:
             p = tuple(pos)
+        mat = m.material or {}
+        tex = ntex = -1
+        mesh_albedo = albedo
+        if use_textures and m.uvs is not None:
+            tex = register(mat.get("diffuse_image"), srgb=True)
+            ntex = register(mat.get("normal_image"), srgb=False)
+            if tex >= 0:
+                # texture replaces the hardcoded loader color; Kd tints
+                mesh_albedo = mat.get("kd", (1.0, 1.0, 1.0))
         builder.add_mesh(m.positions * scale, m.normals, m.indices, pos=p,
-                         albedo=albedo, emission=emission,
+                         albedo=mesh_albedo, emission=emission,
                          emission_strength=emission_strength,
-                         smoothness=smoothness)
+                         smoothness=smoothness, uvs=m.uvs, tex=tex,
+                         normal_tex=ntex)
     builder._loaded_mesh_count = base + len(meshes)
     return builder

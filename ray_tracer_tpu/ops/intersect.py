@@ -171,12 +171,29 @@ def hit_attributes(scene: Scene, o, d, prim_id, miss, t_min):
     n_blend = n0 * w[:, None] + n1 * u[:, None] + n2 * v[:, None]
     n_tri = _safe_normalize(n_blend)
 
+    # --- UV/texture shading (extension; static no-op when untextured) ----
+    tri_albedo = scene.tri_albedo[tidx]
+    if scene.num_textures:
+        from ..texture import decode_normal_map, sample_bilinear
+        uv = (scene.tri_uv0[tidx] * w[:, None]
+              + scene.tri_uv1[tidx] * u[:, None]
+              + scene.tri_uv2[tidx] * v[:, None])
+        tex_id = scene.tri_tex[tidx]
+        tri_albedo = tri_albedo * sample_bilinear(scene.textures, tex_id, uv)
+        ntex_id = scene.tri_ntex[tidx]
+        nm = decode_normal_map(sample_bilinear(scene.textures, ntex_id, uv))
+        n_mapped = _safe_normalize(
+            nm[:, 0:1] * scene.tri_tan[tidx]
+            + nm[:, 1:2] * scene.tri_bitan[tidx]
+            + nm[:, 2:3] * n_tri)
+        n_tri = jnp.where((ntex_id >= 0)[:, None], n_mapped, n_tri)
+
     # --- select ------------------------------------------------------------
     it = is_tri[:, None]
     t = jnp.where(is_tri, t_tri, t_sphere)
     normal = jnp.where(it, n_tri, n_sphere)
     point = o + d * t[:, None]
-    albedo = jnp.where(it, scene.tri_albedo[tidx], scene.sphere_albedo[sidx])
+    albedo = jnp.where(it, tri_albedo, scene.sphere_albedo[sidx])
     emission = jnp.where(it, scene.tri_emission[tidx], scene.sphere_emission[sidx])
     emission_strength = jnp.where(
         is_tri, scene.tri_emission_strength[tidx], scene.sphere_emission_strength[sidx])

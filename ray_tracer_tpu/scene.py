@@ -72,8 +72,22 @@ class Scene:
     tri_smoothness: jax.Array           # (T,)
     tri_valid: jax.Array                # (T,) f32 mask {0, 1}
 
+    # UV/texture shading (extension beyond the reference — SURVEY Q10,
+    # BASELINE config 3). tri_tex/tri_ntex index the texture stack; -1 =
+    # untextured. Tangent frames are precomputed per triangle for normal
+    # mapping.
+    tri_uv0: jax.Array                  # (T, 2)
+    tri_uv1: jax.Array                  # (T, 2)
+    tri_uv2: jax.Array                  # (T, 2)
+    tri_tan: jax.Array                  # (T, 3)
+    tri_bitan: jax.Array                # (T, 3)
+    tri_tex: jax.Array                  # (T,) int32
+    tri_ntex: jax.Array                 # (T,) int32
+    textures: jax.Array                 # (K, R, R, 3) linear f32
+
     num_spheres: int = _field(metadata=dict(static=True), default=0)
     num_tris: int = _field(metadata=dict(static=True), default=0)
+    num_textures: int = _field(metadata=dict(static=True), default=0)
 
     @property
     def padded_spheres(self) -> int:
@@ -92,6 +106,17 @@ class SceneBuilder:
 
     spheres: List[Tuple] = dataclasses.field(default_factory=list)
     tris: List[Tuple] = dataclasses.field(default_factory=list)
+    textures: List[np.ndarray] = dataclasses.field(default_factory=list)
+    texture_resolution: int = 512
+
+    def add_texture(self, image, srgb: bool = True) -> int:
+        """Register a texture image; returns its id for add_mesh(tex=...).
+        Diffuse maps should pass srgb=True (decoded to linear), normal maps
+        srgb=False."""
+        from .texture import prepare_texture
+        self.textures.append(
+            prepare_texture(image, self.texture_resolution, srgb))
+        return len(self.textures) - 1
 
     def add_sphere(self, center, radius, albedo, emission=(0.0, 0.0, 0.0),
                    emission_strength=0.0, smoothness=0.0) -> "SceneBuilder":
@@ -105,14 +130,24 @@ class SceneBuilder:
 
     def add_mesh(self, vertices, normals, indices, pos=(0.0, 0.0, 0.0),
                  albedo=(0.2, 0.2, 1.0), emission=(0.0, 0.0, 0.0),
-                 emission_strength=0.0, smoothness=0.5) -> "SceneBuilder":
+                 emission_strength=0.0, smoothness=0.5, uvs=None,
+                 tex: int = -1, normal_tex: int = -1) -> "SceneBuilder":
         """Append a triangle mesh; bakes ``pos`` translation into vertices
-        (the reference translates per-intersection, wgsl:172-174)."""
+        (the reference translates per-intersection, wgsl:172-174).
+
+        ``uvs`` ((N, 2), v-down convention) with ``tex``/``normal_tex`` ids
+        from add_texture enable textured shading; albedo acts as a tint.
+        """
         vertices = np.asarray(vertices, np.float32).reshape(-1, 3)
         normals = np.asarray(normals, np.float32).reshape(-1, 3)
         indices = np.asarray(indices, np.uint32).reshape(-1)
         if indices.size % 3 != 0:
             raise ValueError("indices length must be a multiple of 3")
+        if uvs is None:
+            uvs = np.zeros((vertices.shape[0], 2), np.float32)
+            tex = normal_tex = -1
+        else:
+            uvs = np.asarray(uvs, np.float32).reshape(-1, 2)
         pos = np.asarray(pos, np.float32)
         smoothness = smoothness if smoothness < 1.0 else 1.0
         for t in range(indices.size // 3):
@@ -123,6 +158,8 @@ class SceneBuilder:
                 tuple(normals[i0]), tuple(normals[i1]), tuple(normals[i2]),
                 tuple(albedo), tuple(emission), float(emission_strength),
                 float(smoothness),
+                tuple(uvs[i0]), tuple(uvs[i1]), tuple(uvs[i2]),
+                int(tex), int(normal_tex),
             ))
         return self
 
@@ -168,13 +205,34 @@ class SceneBuilder:
 
         tv = [arr((TP, 3)) for _ in range(3)]
         tn = [arr((TP, 3)) for _ in range(3)]
+        tuv = [arr((TP, 2)) for _ in range(3)]
         ta, te = arr((TP, 3)), arr((TP, 3))
         tes, ts, tvld = arr((TP,)), arr((TP,)), arr((TP,))
+        ttex = np.full((TP,), -1, np.int32)
+        tntex = np.full((TP,), -1, np.int32)
         for i, rec in enumerate(self.tris):
-            v0, v1, v2, n0, n1, n2, a, e, es, sm = rec
+            v0, v1, v2, n0, n1, n2, a, e, es, sm, uv0, uv1, uv2, tx, ntx = rec
             tv[0][i], tv[1][i], tv[2][i] = v0, v1, v2
             tn[0][i], tn[1][i], tn[2][i] = n0, n1, n2
+            tuv[0][i], tuv[1][i], tuv[2][i] = uv0, uv1, uv2
             ta[i], te[i], tes[i], ts[i], tvld[i] = a, e, es, sm, 1.0
+            ttex[i], tntex[i] = tx, ntx
+
+        # per-triangle tangent frame from UVs (for normal mapping):
+        #   [T B] = [e1 e2] · inv([[du1, du2], [dv1, dv2]])
+        e1 = tv[1] - tv[0]
+        e2 = tv[2] - tv[0]
+        duv1 = tuv[1] - tuv[0]
+        duv2 = tuv[2] - tuv[0]
+        det = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+        r = np.where(np.abs(det) > 1e-12, 1.0 / np.where(det == 0, 1, det), 0.0)
+        tan = (e1 * duv2[:, 1:2] - e2 * duv1[:, 1:2]) * r[:, None]
+        bitan = (e2 * duv1[:, 0:1] - e1 * duv2[:, 0:1]) * r[:, None]
+
+        if self.textures:
+            tex_stack = np.stack(self.textures).astype(np.float32)
+        else:
+            tex_stack = np.zeros((1, 1, 1, 3), np.float32)
 
         j = jnp.asarray
         return Scene(
@@ -185,7 +243,11 @@ class SceneBuilder:
             tri_n0=j(tn[0]), tri_n1=j(tn[1]), tri_n2=j(tn[2]),
             tri_albedo=j(ta), tri_emission=j(te), tri_emission_strength=j(tes),
             tri_smoothness=j(ts), tri_valid=j(tvld),
-            num_spheres=S, num_tris=T,
+            tri_uv0=j(tuv[0]), tri_uv1=j(tuv[1]), tri_uv2=j(tuv[2]),
+            tri_tan=j(tan.astype(np.float32)),
+            tri_bitan=j(bitan.astype(np.float32)),
+            tri_tex=j(ttex), tri_ntex=j(tntex), textures=j(tex_stack),
+            num_spheres=S, num_tris=T, num_textures=len(self.textures),
         )
 
 

@@ -79,6 +79,6 @@ def test_scene_is_pytree():
     import jax
     s, _ = rt.builtin_scene("metal")
     leaves = jax.tree_util.tree_leaves(s)
-    assert len(leaves) == 18  # all array fields, counts are static metadata
+    assert len(leaves) == 26  # all array fields, counts are static metadata
     s2 = jax.tree_util.tree_map(lambda x: x * 1.0, s)
     assert s2.num_spheres == s.num_spheres
