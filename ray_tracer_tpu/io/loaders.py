@@ -91,7 +91,25 @@ def _load_mtl(path: str) -> Dict[str, dict]:
 
 def load_obj(path: str) -> List[MeshData]:
     """Parse a Wavefront OBJ into per-object MeshData (triangulated,
-    single-indexed, with UVs + MTL material when present)."""
+    single-indexed, with UVs + MTL material when present).
+
+    Uses the C++ native parser (native/rtt_native.cpp) when built — text
+    parsing dominates host-side load time for large models — and falls back
+    to this pure-Python implementation otherwise. Both produce identical
+    output (pinned by tests/test_native.py)."""
+    from ..utils.native import parse_obj as _native_parse
+    native = _native_parse(path)
+    if native is not None:
+        materials: Dict[str, dict] = {}
+        mtllib = next((o["mtllib"] for o in native if o["mtllib"]), "")
+        if mtllib:
+            materials = _load_mtl(os.path.join(os.path.dirname(path), mtllib))
+        return [
+            MeshData(o["name"] or "default", o["positions"], o["normals"],
+                     o["indices"], uvs=o["uvs"],
+                     material=materials.get(o["material"]))
+            for o in native]
+
     positions: List[Tuple[float, float, float]] = []
     normals: List[Tuple[float, float, float]] = []
     uvs: List[Tuple[float, float]] = []

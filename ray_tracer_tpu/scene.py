@@ -137,6 +137,7 @@ class SceneBuilder:
 
         ``uvs`` ((N, 2), v-down convention) with ``tex``/``normal_tex`` ids
         from add_texture enable textured shading; albedo acts as a tint.
+        Vectorized: per-mesh numpy gathers, no per-triangle Python loop.
         """
         vertices = np.asarray(vertices, np.float32).reshape(-1, 3)
         normals = np.asarray(normals, np.float32).reshape(-1, 3)
@@ -150,18 +151,31 @@ class SceneBuilder:
             uvs = np.asarray(uvs, np.float32).reshape(-1, 2)
         pos = np.asarray(pos, np.float32)
         smoothness = smoothness if smoothness < 1.0 else 1.0
-        for t in range(indices.size // 3):
-            i0, i1, i2 = indices[3 * t], indices[3 * t + 1], indices[3 * t + 2]
-            self.tris.append((
-                tuple(vertices[i0] + pos), tuple(vertices[i1] + pos),
-                tuple(vertices[i2] + pos),
-                tuple(normals[i0]), tuple(normals[i1]), tuple(normals[i2]),
-                tuple(albedo), tuple(emission), float(emission_strength),
-                float(smoothness),
-                tuple(uvs[i0]), tuple(uvs[i1]), tuple(uvs[i2]),
-                int(tex), int(normal_tex),
-            ))
+
+        tri = indices.reshape(-1, 3).astype(np.int64)
+        rec = {
+            "v0": vertices[tri[:, 0]] + pos,
+            "v1": vertices[tri[:, 1]] + pos,
+            "v2": vertices[tri[:, 2]] + pos,
+            "n0": normals[tri[:, 0]],
+            "n1": normals[tri[:, 1]],
+            "n2": normals[tri[:, 2]],
+            "uv0": uvs[tri[:, 0]],
+            "uv1": uvs[tri[:, 1]],
+            "uv2": uvs[tri[:, 2]],
+            "albedo": np.asarray(albedo, np.float32),
+            "emission": np.asarray(emission, np.float32),
+            "emission_strength": float(emission_strength),
+            "smoothness": float(smoothness),
+            "tex": int(tex),
+            "ntex": int(normal_tex),
+        }
+        self.tris.append(rec)
         return self
+
+    @property
+    def num_tris(self) -> int:
+        return sum(r["v0"].shape[0] for r in self.tris)
 
     def bounds(self) -> Tuple[np.ndarray, np.ndarray]:
         """Host-side AABB over all primitives (min, max) — use this for
@@ -173,7 +187,10 @@ class SceneBuilder:
             pts.append(c - r)
             pts.append(c + r)
         for rec in self.tris:
-            pts.extend(np.asarray(rec[k], np.float32) for k in range(3))
+            for k in ("v0", "v1", "v2"):
+                if rec[k].size:
+                    pts.append(rec[k].min(0))
+                    pts.append(rec[k].max(0))
         if not pts:
             return np.zeros(3, np.float32), np.zeros(3, np.float32)
         pts = np.stack(pts)
@@ -188,11 +205,8 @@ class SceneBuilder:
         (ops/pallas_intersect.py), which only pays off when chunks are
         spatially tight. Pure renaming of primitive ids; images unchanged.
         """
-        if sort_tris and len(self.tris) > 1:
-            self.tris = [self.tris[i] for i in _morton_order(self.tris)]
-        S, T = len(self.spheres), len(self.tris)
+        S = len(self.spheres)
         SP = max(pad, -(-max(S, 1) // pad) * pad)
-        TP = max(pad, -(-max(T, 1) // pad) * pad)
 
         def arr(shape, fill=0.0):
             return np.full(shape, fill, np.float32)
@@ -203,31 +217,71 @@ class SceneBuilder:
         for i, (c, r, a, e, es, sm) in enumerate(self.spheres):
             sc[i], sr[i], sa[i], se[i], ses[i], ss[i], sv[i] = c, r, a, e, es, sm, 1.0
 
-        tv = [arr((TP, 3)) for _ in range(3)]
-        tn = [arr((TP, 3)) for _ in range(3)]
-        tuv = [arr((TP, 2)) for _ in range(3)]
-        ta, te = arr((TP, 3)), arr((TP, 3))
-        tes, ts, tvld = arr((TP,)), arr((TP,)), arr((TP,))
-        ttex = np.full((TP,), -1, np.int32)
-        tntex = np.full((TP,), -1, np.int32)
-        for i, rec in enumerate(self.tris):
-            v0, v1, v2, n0, n1, n2, a, e, es, sm, uv0, uv1, uv2, tx, ntx = rec
-            tv[0][i], tv[1][i], tv[2][i] = v0, v1, v2
-            tn[0][i], tn[1][i], tn[2][i] = n0, n1, n2
-            tuv[0][i], tuv[1][i], tuv[2][i] = uv0, uv1, uv2
-            ta[i], te[i], tes[i], ts[i], tvld[i] = a, e, es, sm, 1.0
-            ttex[i], tntex[i] = tx, ntx
+        # concatenate per-mesh records (vectorized; no per-tri Python loop)
+        def cat(key, width):
+            if not self.tris:
+                return np.zeros((0, width), np.float32) if width else np.zeros((0,), np.float32)
+            return np.concatenate([np.asarray(r[key], np.float32).reshape(-1, width) if width
+                                   else np.asarray(r[key], np.float32).reshape(-1)
+                                   for r in self.tris])
+
+        v0, v1, v2 = cat("v0", 3), cat("v1", 3), cat("v2", 3)
+        n0, n1, n2 = cat("n0", 3), cat("n1", 3), cat("n2", 3)
+        uv0, uv1, uv2 = cat("uv0", 2), cat("uv1", 2), cat("uv2", 2)
+        T = v0.shape[0]
+        albedo = (np.concatenate([np.tile(r["albedo"], (r["v0"].shape[0], 1))
+                                  for r in self.tris])
+                  if self.tris else np.zeros((0, 3), np.float32))
+        emission = (np.concatenate([np.tile(r["emission"], (r["v0"].shape[0], 1))
+                                    for r in self.tris])
+                    if self.tris else np.zeros((0, 3), np.float32))
+        def scalar_cat(key, dtype=np.float32):
+            if not self.tris:
+                return np.zeros((0,), dtype)
+            return np.concatenate([
+                np.full((r["v0"].shape[0],), r[key], dtype) for r in self.tris])
+        estr = scalar_cat("emission_strength")
+        smooth = scalar_cat("smoothness")
+        texid = scalar_cat("tex", np.int32)
+        ntexid = scalar_cat("ntex", np.int32)
+
+        if sort_tris and T > 1:
+            order = _morton_order((v0 + v1 + v2) / 3.0)
+            v0, v1, v2 = v0[order], v1[order], v2[order]
+            n0, n1, n2 = n0[order], n1[order], n2[order]
+            uv0, uv1, uv2 = uv0[order], uv1[order], uv2[order]
+            albedo, emission = albedo[order], emission[order]
+            estr, smooth = estr[order], smooth[order]
+            texid, ntexid = texid[order], ntexid[order]
+
+        TP = max(pad, -(-max(T, 1) // pad) * pad)
+
+        def padded(a, width=None):
+            shape = (TP,) if width is None else (TP, width)
+            out = np.zeros(shape, a.dtype)
+            out[:T] = a
+            return out
+
+        tvld = np.zeros((TP,), np.float32)
+        tvld[:T] = 1.0
+        v0p, v1p, v2p = padded(v0, 3), padded(v1, 3), padded(v2, 3)
+        uv0p, uv1p, uv2p = padded(uv0, 2), padded(uv1, 2), padded(uv2, 2)
 
         # per-triangle tangent frame from UVs (for normal mapping):
         #   [T B] = [e1 e2] · inv([[du1, du2], [dv1, dv2]])
-        e1 = tv[1] - tv[0]
-        e2 = tv[2] - tv[0]
-        duv1 = tuv[1] - tuv[0]
-        duv2 = tuv[2] - tuv[0]
+        e1 = v1p - v0p
+        e2 = v2p - v0p
+        duv1 = uv1p - uv0p
+        duv2 = uv2p - uv0p
         det = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
         r = np.where(np.abs(det) > 1e-12, 1.0 / np.where(det == 0, 1, det), 0.0)
         tan = (e1 * duv2[:, 1:2] - e2 * duv1[:, 1:2]) * r[:, None]
         bitan = (e2 * duv1[:, 0:1] - e1 * duv2[:, 0:1]) * r[:, None]
+
+        texid_p = np.full((TP,), -1, np.int32)
+        texid_p[:T] = texid
+        ntexid_p = np.full((TP,), -1, np.int32)
+        ntexid_p[:T] = ntexid
 
         if self.textures:
             tex_stack = np.stack(self.textures).astype(np.float32)
@@ -239,24 +293,29 @@ class SceneBuilder:
             sphere_center=j(sc), sphere_radius=j(sr), sphere_albedo=j(sa),
             sphere_emission=j(se), sphere_emission_strength=j(ses),
             sphere_smoothness=j(ss), sphere_valid=j(sv),
-            tri_v0=j(tv[0]), tri_v1=j(tv[1]), tri_v2=j(tv[2]),
-            tri_n0=j(tn[0]), tri_n1=j(tn[1]), tri_n2=j(tn[2]),
-            tri_albedo=j(ta), tri_emission=j(te), tri_emission_strength=j(tes),
-            tri_smoothness=j(ts), tri_valid=j(tvld),
-            tri_uv0=j(tuv[0]), tri_uv1=j(tuv[1]), tri_uv2=j(tuv[2]),
+            tri_v0=j(v0p), tri_v1=j(v1p), tri_v2=j(v2p),
+            tri_n0=j(padded(n0, 3)), tri_n1=j(padded(n1, 3)),
+            tri_n2=j(padded(n2, 3)),
+            tri_albedo=j(padded(albedo, 3)), tri_emission=j(padded(emission, 3)),
+            tri_emission_strength=j(padded(estr)),
+            tri_smoothness=j(padded(smooth)), tri_valid=j(tvld),
+            tri_uv0=j(uv0p), tri_uv1=j(uv1p), tri_uv2=j(uv2p),
             tri_tan=j(tan.astype(np.float32)),
             tri_bitan=j(bitan.astype(np.float32)),
-            tri_tex=j(ttex), tri_ntex=j(tntex), textures=j(tex_stack),
+            tri_tex=j(texid_p), tri_ntex=j(ntexid_p), textures=j(tex_stack),
             num_spheres=S, num_tris=T, num_textures=len(self.textures),
         )
 
 
-def _morton_order(tris) -> np.ndarray:
-    """Argsort of triangles by the 30-bit Morton code of their centroids
-    (10 bits/axis over the scene AABB)."""
-    centroids = np.array([
-        (np.asarray(t[0]) + np.asarray(t[1]) + np.asarray(t[2])) / 3.0
-        for t in tris], np.float64)
+def _morton_order(centroids: np.ndarray) -> np.ndarray:
+    """Argsort of triangle centroids by 30-bit Morton code (10 bits/axis
+    over the scene AABB). Uses the C++ native helper when built
+    (native/rtt_native.cpp), numpy otherwise."""
+    from .utils.native import morton_order as _native_morton
+    out = _native_morton(centroids)
+    if out is not None:
+        return out
+    centroids = np.asarray(centroids, np.float64)
     lo, hi = centroids.min(0), centroids.max(0)
     ext = np.maximum(hi - lo, 1e-12)
     q = np.clip(((centroids - lo) / ext * 1023.0), 0, 1023).astype(np.uint64)
