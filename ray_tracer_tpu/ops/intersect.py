@@ -120,6 +120,36 @@ def _safe_normalize(v, eps=1e-24):
     inv = jax.lax.rsqrt(jnp.where(ok, sq, 1.0))
     return jnp.where(ok, v * inv, v)
 
+def _pack_sphere_attrs(scene: Scene):
+    """(S, 12) row-packed sphere attributes: one gather per ray instead of
+    six (TPU gathers cost per-op, not per-byte; scene-only → hoisted out of
+    the bounce scan by XLA)."""
+    return jnp.concatenate([
+        scene.sphere_center, scene.sphere_radius[:, None],
+        scene.sphere_albedo, scene.sphere_emission,
+        scene.sphere_emission_strength[:, None],
+        scene.sphere_smoothness[:, None],
+    ], axis=1)
+
+
+def _pack_tri_attrs(scene: Scene):
+    """(T, 26) row-packed triangle attributes (+UV/tangent planes when the
+    scene is textured)."""
+    cols = [
+        scene.tri_v0, scene.tri_v1, scene.tri_v2,
+        scene.tri_n0, scene.tri_n1, scene.tri_n2,
+        scene.tri_albedo, scene.tri_emission,
+        scene.tri_emission_strength[:, None],
+        scene.tri_smoothness[:, None],
+    ]
+    if scene.num_textures:
+        cols += [scene.tri_uv0, scene.tri_uv1, scene.tri_uv2,
+                 scene.tri_tan, scene.tri_bitan,
+                 scene.tri_tex[:, None].astype(jnp.float32),
+                 scene.tri_ntex[:, None].astype(jnp.float32)]
+    return jnp.concatenate(cols, axis=1)
+
+
 def hit_attributes(scene: Scene, o, d, prim_id, miss, t_min):
     """Gather the winning primitive and recompute the hit differentiably.
 
@@ -136,14 +166,16 @@ def hit_attributes(scene: Scene, o, d, prim_id, miss, t_min):
     is_tri = prim_id >= S
     sidx = jnp.clip(prim_id, 0, S - 1)
     tidx = jnp.clip(prim_id - S, 0, scene.padded_tris - 1)
+    sp = _pack_sphere_attrs(scene)[sidx]       # (R, 12) one gather
+    tp = _pack_tri_attrs(scene)[tidx]          # (R, 26|42) one gather
 
     # --- sphere recompute (wgsl:106-123) ---------------------------------
     # NaN-safe for autodiff: lanes that actually missed (masked downstream)
     # still run this recompute, and d/dx sqrt(max(x,0)) at x<=0 is inf*0=NaN
     # which `where` masking does NOT stop in the backward pass. The standard
     # double-where makes the untaken branch differentiate a benign constant.
-    c = scene.sphere_center[sidx]
-    r = scene.sphere_radius[sidx]
+    c = sp[:, 0:3]
+    r = sp[:, 3]
     oc = o - c
     a = jnp.sum(d * d, axis=-1)
     b = 2.0 * jnp.sum(oc * d, axis=-1)
@@ -156,8 +188,8 @@ def hit_attributes(scene: Scene, o, d, prim_id, miss, t_min):
     n_sphere = _safe_normalize(p_sphere - c)
 
     # --- triangle recompute (wgsl:125-147) --------------------------------
-    v0, v1, v2 = scene.tri_v0[tidx], scene.tri_v1[tidx], scene.tri_v2[tidx]
-    n0, n1, n2 = scene.tri_n0[tidx], scene.tri_n1[tidx], scene.tri_n2[tidx]
+    v0, v1, v2 = tp[:, 0:3], tp[:, 3:6], tp[:, 6:9]
+    n0, n1, n2 = tp[:, 9:12], tp[:, 12:15], tp[:, 15:18]
     e1, e2 = v1 - v0, v2 - v0
     ng = jnp.cross(e1, e2)
     ao = o - v0
@@ -172,19 +204,17 @@ def hit_attributes(scene: Scene, o, d, prim_id, miss, t_min):
     n_tri = _safe_normalize(n_blend)
 
     # --- UV/texture shading (extension; static no-op when untextured) ----
-    tri_albedo = scene.tri_albedo[tidx]
+    tri_albedo = tp[:, 18:21]
     if scene.num_textures:
         from ..texture import decode_normal_map, sample_bilinear
-        uv = (scene.tri_uv0[tidx] * w[:, None]
-              + scene.tri_uv1[tidx] * u[:, None]
-              + scene.tri_uv2[tidx] * v[:, None])
-        tex_id = scene.tri_tex[tidx]
+        uv = (tp[:, 26:28] * w[:, None] + tp[:, 28:30] * u[:, None]
+              + tp[:, 30:32] * v[:, None])
+        tex_id = tp[:, 38].astype(jnp.int32)
         tri_albedo = tri_albedo * sample_bilinear(scene.textures, tex_id, uv)
-        ntex_id = scene.tri_ntex[tidx]
+        ntex_id = tp[:, 39].astype(jnp.int32)
         nm = decode_normal_map(sample_bilinear(scene.textures, ntex_id, uv))
         n_mapped = _safe_normalize(
-            nm[:, 0:1] * scene.tri_tan[tidx]
-            + nm[:, 1:2] * scene.tri_bitan[tidx]
+            nm[:, 0:1] * tp[:, 32:35] + nm[:, 1:2] * tp[:, 35:38]
             + nm[:, 2:3] * n_tri)
         n_tri = jnp.where((ntex_id >= 0)[:, None], n_mapped, n_tri)
 
@@ -193,12 +223,10 @@ def hit_attributes(scene: Scene, o, d, prim_id, miss, t_min):
     t = jnp.where(is_tri, t_tri, t_sphere)
     normal = jnp.where(it, n_tri, n_sphere)
     point = o + d * t[:, None]
-    albedo = jnp.where(it, tri_albedo, scene.sphere_albedo[sidx])
-    emission = jnp.where(it, scene.tri_emission[tidx], scene.sphere_emission[sidx])
-    emission_strength = jnp.where(
-        is_tri, scene.tri_emission_strength[tidx], scene.sphere_emission_strength[sidx])
-    smoothness = jnp.where(
-        is_tri, scene.tri_smoothness[tidx], scene.sphere_smoothness[sidx])
+    albedo = jnp.where(it, tri_albedo, sp[:, 4:7])
+    emission = jnp.where(it, tp[:, 21:24], sp[:, 7:10])
+    emission_strength = jnp.where(is_tri, tp[:, 24], sp[:, 10])
+    smoothness = jnp.where(is_tri, tp[:, 25], sp[:, 11])
 
     hit = jnp.logical_not(miss)
     return Hit(

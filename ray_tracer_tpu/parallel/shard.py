@@ -48,12 +48,15 @@ def _render_sharded(scene: Scene, basis: CameraBasis, params: RenderParams,
     def body(scene, basis, frame_index, ids):
         return render_pixels(scene, basis, params, frame_index, ids)
 
+    # shard the flat pixel axis over EVERY mesh axis: works for the 1-D
+    # ('devices',) mesh and the multi-host ('host', 'chip') mesh alike
+    pix_spec = P(tuple(mesh.axis_names))
     fn = shard_map_fn(
         body, mesh,
-        in_specs=(P(), P(), P(), P(AXIS)),
-        out_specs=P(AXIS),
+        in_specs=(P(), P(), P(), pix_spec),
+        out_specs=pix_spec,
     )
-    ids = jax.device_put(ids, NamedSharding(mesh, P(AXIS)))
+    ids = jax.device_put(ids, NamedSharding(mesh, pix_spec))
     img = fn(scene, basis, frame_index, ids)
     return img[:n].reshape(H, W, 3)
 

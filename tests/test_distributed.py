@@ -1,0 +1,73 @@
+"""Multi-host scaffolding tests on the virtual 8-device CPU harness."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import ray_tracer_tpu as rt
+from ray_tracer_tpu.parallel import render_frame_distributed
+from ray_tracer_tpu.parallel.distributed import (
+    CHIP_AXIS, HOST_AXIS, make_host_chip_mesh, pixel_sharding_spec)
+from ray_tracer_tpu.renderer import render_frame
+
+
+def test_host_chip_mesh_shape():
+    mesh = make_host_chip_mesh()
+    assert mesh.axis_names == (HOST_AXIS, CHIP_AXIS)
+    assert mesh.devices.shape == (1, 8)  # one process, 8 virtual chips
+
+
+def test_render_on_host_chip_mesh_matches_single():
+    scene, cam = rt.builtin_scene("metal", aspect=1.0, pad=8)
+    params = rt.RenderParams(width=16, height=16, bounces=2, skybox=True,
+                             backend="jnp")
+    basis = rt.camera_basis(cam)
+    mesh = make_host_chip_mesh()
+    a = np.asarray(render_frame(scene, basis, params, jnp.int32(0)))
+    b = np.asarray(render_frame_distributed(scene, basis, params, 0, mesh))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_simulated_two_hosts():
+    """Reshape the 8 virtual devices as (2 hosts x 4 chips): layouts and
+    collectives must behave identically to the flat mesh."""
+    from jax.sharding import Mesh
+    devs = np.array(jax.devices()).reshape(2, 4)
+    mesh = Mesh(devs, (HOST_AXIS, CHIP_AXIS))
+    scene, cam = rt.builtin_scene("metal", aspect=1.0, pad=8)
+    params = rt.RenderParams(width=16, height=16, bounces=1, skybox=True,
+                             backend="jnp")
+    basis = rt.camera_basis(cam)
+    a = np.asarray(render_frame(scene, basis, params, jnp.int32(0)))
+    b = np.asarray(render_frame_distributed(scene, basis, params, 0, mesh))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_gradients_on_two_host_mesh():
+    from jax.sharding import Mesh
+    from ray_tracer_tpu.grad import image_mse, split_scene
+    devs = np.array(jax.devices()).reshape(2, 4)
+    mesh = Mesh(devs, (HOST_AXIS, CHIP_AXIS))
+    scene, cam = rt.builtin_scene("metal", aspect=1.0, pad=8)
+    params = rt.RenderParams(width=16, height=16, bounces=1, skybox=True,
+                             backend="jnp")
+    basis = rt.camera_basis(cam)
+    target = jnp.zeros((16, 16, 3))
+    trainable, _ = split_scene(scene, ("sphere_albedo",))
+    g1 = jax.grad(image_mse)(trainable, scene, basis, params, jnp.int32(0),
+                             target, mesh=None)
+    g2 = jax.grad(image_mse)(trainable, scene, basis, params, jnp.int32(0),
+                             target, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(g1["sphere_albedo"]),
+                               np.asarray(g2["sphere_albedo"]), atol=1e-5)
+
+
+def test_initialize_idempotent_single_process():
+    from ray_tracer_tpu.parallel import distributed
+    distributed.initialize()  # must not raise in single-process env
+    distributed.initialize()
+
+
+def test_pixel_sharding_spec():
+    spec = pixel_sharding_spec()
+    assert spec == jax.sharding.PartitionSpec((HOST_AXIS, CHIP_AXIS))
