@@ -58,8 +58,13 @@ def image_mse(trainable, scene: Scene, basis: CameraBasis,
     return jnp.mean((img - target) ** 2)
 
 
-def make_train_step(params: RenderParams, optimizer=None, mesh=None):
+def make_train_step(params: RenderParams, optimizer=None, mesh=None,
+                    edge_samples: int = 0):
     """Build a jitted SGD/Adam step over trainable scene leaves.
+
+    ``edge_samples > 0`` adds the edge-sampled visibility (boundary)
+    gradients (grad/edges.py) for geometry fields — without them, autodiff
+    sees only shading changes, not silhouette motion.
 
     Returns (init_fn, step_fn):
       init_fn(scene, fields) -> (trainable, opt_state)
@@ -76,6 +81,18 @@ def make_train_step(params: RenderParams, optimizer=None, mesh=None):
     def step_fn(trainable, opt_state, scene, basis, target, frame_index):
         loss, grads = jax.value_and_grad(image_mse)(
             trainable, scene, basis, params, frame_index, target, mesh=mesh)
+        if edge_samples:
+            from .edges import boundary_gradients
+            from ..renderer import render_frame
+            full = merge_scene(scene, trainable)
+            img = render_frame(full, basis, params, frame_index)
+            cot = 2.0 * (img - target) / img.size        # d(mse)/d(img)
+            key = jax.random.fold_in(jax.random.PRNGKey(1234), frame_index)
+            bg = boundary_gradients(full, basis, params, cot, key,
+                                    n_tri_samples=edge_samples,
+                                    n_sph_samples=edge_samples)
+            grads = {k: v + bg[k] if k in bg else v
+                     for k, v in grads.items()}
         updates, opt_state = optimizer.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, loss
