@@ -23,6 +23,7 @@ scatter-add transpose.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -237,6 +238,54 @@ def hit_attributes(scene: Scene, o, d, prim_id, miss, t_min):
 
 
 # ---------------------------------------------------------------------------
+# Fused forward path: in-kernel attribute extraction + jnp backward
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_intersect(scene, o, d, t_min, alive):
+    """Closest hit with attributes extracted INSIDE the Pallas kernel
+    (nearest_hit_attrs_pallas) — replaces the slow XLA winner-gather on the
+    forward path. Differentiable: the backward pass recomputes the winner's
+    attributes with the jnp path (hit_attributes) and chains its VJP, so
+    gradients to scene/ray leaves match the oracle path exactly."""
+    hit, _, _ = _fused_forward(scene, o, d, t_min, alive)
+    return hit
+
+
+def _fused_forward(scene, o, d, t_min, alive):
+    from .pallas_intersect import nearest_hit_attrs_pallas
+    o_s, d_s = jax.lax.stop_gradient(o), jax.lax.stop_gradient(d)
+    scene_s = jax.lax.stop_gradient(scene)
+    best_t, prim_id, attrs = nearest_hit_attrs_pallas(
+        scene_s, o_s, d_s, t_min, alive=alive)
+    miss = jnp.isinf(best_t)
+    t = jnp.where(miss, 0.0, best_t)
+    hit = Hit(
+        t=t, hit=jnp.logical_not(miss), point=o_s + d_s * t[:, None],
+        normal=_safe_normalize(attrs[:, 0:3]), albedo=attrs[:, 3:6],
+        emission=attrs[:, 6:9], emission_strength=attrs[:, 9],
+        smoothness=attrs[:, 10])
+    return hit, prim_id, miss
+
+
+def _fused_intersect_fwd(scene, o, d, t_min, alive):
+    hit, prim_id, miss = _fused_forward(scene, o, d, t_min, alive)
+    return hit, (scene, o, d, prim_id, miss)
+
+
+def _fused_intersect_bwd(t_min, res, g):
+    scene, o, d, prim_id, miss = res
+    _, vjp = jax.vjp(
+        lambda sc, oo, dd: hit_attributes(sc, oo, dd, prim_id, miss, t_min),
+        scene, o, d)
+    gs, go, gd = vjp(g)
+    return gs, go, gd, None
+
+
+fused_intersect.defvjp(_fused_intersect_fwd, _fused_intersect_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Dispatch
 # ---------------------------------------------------------------------------
 
@@ -268,6 +317,10 @@ def intersect(scene: Scene, o, d, t_min=1e-4, backend: str = "jnp",
     """
     if backend == "auto":
         backend = "pallas" if jax.devices()[0].platform == "tpu" else "jnp"
+    if backend == "pallas" and scene.num_textures == 0:
+        # fused path: attributes extracted in-kernel (textured scenes need
+        # the UV/tangent gather of hit_attributes and take the slow path)
+        return fused_intersect(scene, o, d, t_min, alive)
     o_s, d_s = jax.lax.stop_gradient(o), jax.lax.stop_gradient(d)
     scene_s = jax.lax.stop_gradient(scene)
     if backend == "pallas":

@@ -23,9 +23,21 @@ have):
   * spheres ride an unconditional chunk loop (scenes have few).
 
 prim-id convention matches ops/intersect.py: spheres [0, SP), triangles
-[SP, SP+TP); t=+inf encodes a miss. The kernel returns only (t, id): hit
-attributes are recomputed differentiably outside (hit_attributes), which is
-what keeps the renderer differentiable with a detached discrete winner.
+[SP, SP+TP); t=+inf encodes a miss. Winner shading attributes can be
+extracted in-kernel (want_attrs) by one-hot masked sums over only the
+chunks that contain winners — replacing the XLA winner-gather, whose
+per-element cost dwarfs the VPU math. Gradients flow through the jnp
+recompute path (ops.intersect.fused_intersect's custom_vjp), keeping the
+discrete winner detached.
+
+Layout notes (measured, both ways):
+  * pair tiles are (prims=sublanes, rays=lanes): per-RAY values are (1, RT)
+    rows = ONE vector register. The transposed orientation (rays on
+    sublanes) makes every per-ray value a (RT, 1) column = 16 VREGs at
+    1/128 lane utilization — 2× slower overall.
+  * VMEM pads the last dim to 128 lanes, so the triangle planes are ONE
+    (TP, 32) array (8 MB padded) carrying geometry + shading rather than
+    two arrays (16 MB — OOM).
 """
 
 from __future__ import annotations
@@ -48,7 +60,12 @@ TRI_DET_EPS = 1e-6  # matches wgsl:140
 
 
 def _pack_tris(scene: Scene):
-    """(TP, 16) plane array: [a(3) | e1(3) | e2(3) | n(3) | pad(4)].
+    """(TP, 32) plane array:
+    [a(3) | e1(3) | e2(3) | n(3) | n0(3) | n1(3) | n2(3) | albedo(3) |
+     emission(3) | es | smooth | pad(3)] — Möller–Trumbore geometry plus the
+    shading attributes the extraction pass reads. ONE array because VMEM
+    pads the lane (last) dimension to 128: two arrays would double the 8 MB
+    padded footprint and overflow the ~16 MB VMEM budget (measured).
 
     n = e1 × e2 is the unnormalized geometric normal; ray-independent, so
     XLA hoists the packing out of the per-frame loop.
@@ -57,17 +74,28 @@ def _pack_tris(scene: Scene):
     e1 = scene.tri_v1 - scene.tri_v0
     e2 = scene.tri_v2 - scene.tri_v0
     n = jnp.cross(e1, e2)
-    pad = jnp.zeros((a.shape[0], 4), jnp.float32)
-    return jnp.concatenate([a, e1, e2, n, pad], axis=1)
+    pad = jnp.zeros((a.shape[0], 3), jnp.float32)
+    return jnp.concatenate([
+        a, e1, e2, n,
+        scene.tri_n0, scene.tri_n1, scene.tri_n2,
+        scene.tri_albedo, scene.tri_emission,
+        scene.tri_emission_strength[:, None],
+        scene.tri_smoothness[:, None], pad,
+    ], axis=1)
 
 
 def _pack_spheres(scene: Scene):
-    """(SP, 8) plane array: [c(3) | r^2 | valid | pad(3)]."""
+    """(SP, 16) plane array:
+    [c(3) | r^2 | valid | albedo(3) | emission(3) | es | smooth | pad(3)]."""
     pad = jnp.zeros((scene.sphere_center.shape[0], 3), jnp.float32)
     return jnp.concatenate([
         scene.sphere_center,
         (scene.sphere_radius ** 2)[:, None],
         scene.sphere_valid[:, None],
+        scene.sphere_albedo,
+        scene.sphere_emission,
+        scene.sphere_emission_strength[:, None],
+        scene.sphere_smoothness[:, None],
         pad,
     ], axis=1)
 
@@ -100,12 +128,17 @@ def _min_fold_refs(t_pairs, valid, ids, bt_ref, bi_ref):
     bi_ref[0:1, :] = jnp.where(better, cid, bi_ref[0:1, :])
 
 
-def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int, csize: int):
+def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int, csize: int,
+                 want_attrs: bool):
     n_sph_chunks = SP // tt_s
     n_clusters = TP // csize
 
-    def kernel(ray_ref, sph_ref, tri_ref, clu_ref, t_out, id_out,
-               bt_ref, bi_ref, flag_ref):
+    def kernel(ray_ref, sph_ref, tri_ref, clu_ref, *outs_and_scratch):
+        if want_attrs:
+            (t_out, id_out, attr_out, bt_ref, bi_ref, flag_ref,
+             acc_ref) = outs_and_scratch
+        else:
+            t_out, id_out, bt_ref, bi_ref, flag_ref = outs_and_scratch
         # ray_ref: (8, RT) rows [ox oy oz dx dy dz alive ·]
         ox, oy, oz = ray_ref[0:1, :], ray_ref[1:2, :], ray_ref[2:3, :]
         dx, dy, dz = ray_ref[3:4, :], ray_ref[4:5, :], ray_ref[5:6, :]
@@ -217,6 +250,106 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int, csize: int):
             first, last = cluster_span()
             jax.lax.fori_loop(first, last + 1, span_body, 0)
 
+        if want_attrs:
+            # ---- winner-attribute extraction (one-hot masked sums) ------
+            # Replaces the XLA winner-gather outside the kernel (per-
+            # element gather cost on TPU dwarfs the VPU math). Only chunks
+            # containing a winning id run; coherent tiles touch few.
+            best_id_v = bi_ref[0:1, :]
+            best_t_v = jnp.where(jnp.isinf(bt_ref[0:1, :]), 0.0,
+                                 bt_ref[0:1, :])
+            pxw = ox + best_t_v * dx          # winner hit point (1, RT)
+            pyw = oy + best_t_v * dy
+            pzw = oz + best_t_v * dz
+            acc_ref[:, :] = jnp.zeros((16, RT), jnp.float32)
+
+            def sph_extract(k, carry):
+                sbase = k * tt_s
+                ids = (jax.lax.broadcasted_iota(jnp.int32, (tt_s, RT), 0)
+                       + jnp.int32(sbase))
+                m = (ids == best_id_v).astype(jnp.float32)   # (tt, RT)
+                cx = sph_ref[pl.ds(sbase, tt_s), 0:1]
+                cy = sph_ref[pl.ds(sbase, tt_s), 1:2]
+                cz = sph_ref[pl.ds(sbase, tt_s), 2:3]
+                r2 = sph_ref[pl.ds(sbase, tt_s), 3:4]
+                inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-20))
+                # outward normal (p − c)/r (wgsl:117)
+                ok = m > 0
+                acc_ref[0:1, :] += jnp.sum(
+                    jnp.where(ok, (pxw - cx) * inv_r, 0.0), 0, keepdims=True)
+                acc_ref[1:2, :] += jnp.sum(
+                    jnp.where(ok, (pyw - cy) * inv_r, 0.0), 0, keepdims=True)
+                acc_ref[2:3, :] += jnp.sum(
+                    jnp.where(ok, (pzw - cz) * inv_r, 0.0), 0, keepdims=True)
+                for row, col in ((3, 5), (4, 6), (5, 7),    # albedo
+                                 (6, 8), (7, 9), (8, 10),   # emission
+                                 (9, 11), (10, 12)):        # es, smooth
+                    acc_ref[row:row + 1, :] += jnp.sum(
+                        jnp.where(ok, sph_ref[pl.ds(sbase, tt_s),
+                                              col:col + 1], 0.0),
+                        0, keepdims=True)
+                return carry
+
+            def tri_extract(c, carry):
+                lo_id = jnp.int32(SP) + c * csize
+                in_chunk = (best_id_v >= lo_id) & (best_id_v < lo_id + csize)
+
+                @pl.when(jnp.any(in_chunk))
+                def _():
+                    sbase = c * csize
+                    sl = pl.ds(sbase, csize)
+                    ax, ay, az = (tri_ref[sl, 0:1], tri_ref[sl, 1:2],
+                                  tri_ref[sl, 2:3])
+                    e1x, e1y, e1z = (tri_ref[sl, 3:4], tri_ref[sl, 4:5],
+                                     tri_ref[sl, 5:6])
+                    e2x, e2y, e2z = (tri_ref[sl, 6:7], tri_ref[sl, 7:8],
+                                     tri_ref[sl, 8:9])
+                    nx, ny, nz = (tri_ref[sl, 9:10], tri_ref[sl, 10:11],
+                                  tri_ref[sl, 11:12])
+                    aox, aoy, aoz = ox - ax, oy - ay, oz - az
+                    det = -(dx * nx + dy * ny + dz * nz)
+                    daox = aoy * dz - aoz * dy
+                    daoy = aoz * dx - aox * dz
+                    daoz = aox * dy - aoy * dx
+                    inv = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+                    u = (e2x * daox + e2y * daoy + e2z * daoz) * inv
+                    v = -(e1x * daox + e1y * daoy + e1z * daoz) * inv
+                    w = 1.0 - u - v
+                    ids = (jax.lax.broadcasted_iota(
+                        jnp.int32, (csize, RT), 0) + lo_id)
+                    m = (ids == best_id_v).astype(jnp.float32)
+                    # barycentric-blended vertex normals (wgsl:143);
+                    # normalization happens outside
+                    for row, (c0, c1, c2) in enumerate(
+                            ((12, 15, 18), (13, 16, 19), (14, 17, 20))):
+                        blend = (w * tri_ref[sl, c0:c0 + 1]
+                                 + u * tri_ref[sl, c1:c1 + 1]
+                                 + v * tri_ref[sl, c2:c2 + 1])
+                        # where (not m*blend): non-winning rows can hold
+                        # inf barycentrics (det≈0) and 0*inf = NaN
+                        acc_ref[row:row + 1, :] += jnp.sum(
+                            jnp.where(m > 0, blend, 0.0), 0, keepdims=True)
+                    for row, col in ((3, 21), (4, 22), (5, 23),   # albedo
+                                     (6, 24), (7, 25), (8, 26),   # emission
+                                     (9, 27), (10, 28)):          # es, smooth
+                        acc_ref[row:row + 1, :] += jnp.sum(
+                            jnp.where(m > 0, tri_ref[sl, col:col + 1], 0.0),
+                            0, keepdims=True)
+                return carry
+
+            @pl.when(jnp.any(alive))
+            def _():
+                jax.lax.fori_loop(0, n_sph_chunks, sph_extract, 0)
+                # restrict the chunk sweep to the winners' id range
+                is_tw = (best_id_v >= SP) & (best_id_v < SP + TP)
+                c_lo = (jnp.min(jnp.where(is_tw, best_id_v, SP + TP))
+                        - SP) // csize
+                c_hi = (jnp.max(jnp.where(is_tw, best_id_v, SP))
+                        - SP) // csize
+                jax.lax.fori_loop(c_lo, c_hi + 1, tri_extract, 0)
+
+            attr_out[:, :] = acc_ref[:, :]
+
         # output blocks are (8, RT) — sublane dim must be ≥8 on TPU — so
         # broadcast the (1, RT) result across the rows; caller reads row 0.
         best_t, best_id = bt_ref[0:1, :], bi_ref[0:1, :]
@@ -227,16 +360,10 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int, csize: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("t_min", "interpret"))
-def nearest_hit_pallas(scene: Scene, o, d, t_min=1e-4, alive=None,
-                       interpret=False):
-    """Closest hit for (R, 3) rays → (t (R,), prim_id (R,) int32).
-
-    Drop-in replacement for ops.intersect.nearest_hit_jnp (same id
-    convention); R is padded to a multiple of RT internally. ``alive``
-    ((R,) bool, optional) marks live wavefront lanes — dead lanes return
-    miss and cost (nearly) nothing once sorted into whole-dead tiles.
-    """
+@functools.partial(jax.jit, static_argnames=("t_min", "want_attrs",
+                                             "interpret"))
+def _nearest_hit_call(scene: Scene, o, d, t_min, alive, want_attrs,
+                      interpret):
     R = o.shape[0]
     SP, TP = scene.padded_spheres, scene.padded_tris
     tt_s = min(SPH_TT, SP)
@@ -251,40 +378,85 @@ def nearest_hit_pallas(scene: Scene, o, d, t_min=1e-4, alive=None,
     rays = jnp.concatenate([o, d, alive_f[:, None]], axis=1).T   # (7, R)
     rays = jnp.pad(rays, ((0, 1), (0, Rp - R)))                  # (8, Rp)
 
-    sph = _pack_spheres(scene)                                   # (SP, 8)
-    tri = _pack_tris(scene)                                      # (TP, 16)
+    sph = _pack_spheres(scene)                                   # (SP, 16)
+    tri = _pack_tris(scene)                                      # (TP, 32)
     clu = _cluster_aabbs(scene, csize)                           # (C, 8)
 
-    kernel = _make_kernel(SP, TP, float(t_min), tt_s, csize)
-    t_out, id_out = pl.pallas_call(
+    kernel = _make_kernel(SP, TP, float(t_min), tt_s, csize, want_attrs)
+    out_specs = [
+        pl.BlockSpec((8, RT), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, RT), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((8, Rp), jnp.float32),
+        jax.ShapeDtypeStruct((8, Rp), jnp.int32),
+    ]
+    scratch = [
+        pltpu.VMEM((8, RT), jnp.float32),   # running best t
+        pltpu.VMEM((8, RT), jnp.int32),     # running best prim id
+        pltpu.VMEM((TP // csize, RT), jnp.int32),  # cluster-enter flags
+    ]
+    if want_attrs:
+        out_specs.append(pl.BlockSpec((16, RT), lambda i: (0, i),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((16, Rp), jnp.float32))
+        scratch.append(pltpu.VMEM((16, RT), jnp.float32))  # attr accum
+
+    outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((8, RT), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SP, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TP, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SP, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TP, 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TP // csize, 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((8, RT), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, RT), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((8, Rp), jnp.float32),
-            jax.ShapeDtypeStruct((8, Rp), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((8, RT), jnp.float32),   # running best t
-            pltpu.VMEM((8, RT), jnp.int32),     # running best prim id
-            pltpu.VMEM((TP // csize, RT), jnp.int32),  # cluster-enter flags
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=Rp * (SP * 25 + TP * 45),
-            bytes_accessed=Rp * 8 * 4 + SP * 32 + TP * 64 + Rp * 8,
+            bytes_accessed=Rp * 8 * 4 + SP * 64 + TP * 128 + Rp * 8,
             transcendentals=0,
         ),
     )(rays, sph, tri, clu)
 
+    if want_attrs:
+        t_out, id_out, attr_out = outs
+        return t_out[0, :R], id_out[0, :R], attr_out[:, :R].T
+    t_out, id_out = outs
     return t_out[0, :R], id_out[0, :R]
+
+
+def _auto_interpret(interpret):
+    # the kernel runs in interpreter mode automatically off-TPU, so the
+    # pallas backend is usable (and testable) on the CPU harness
+    return interpret or jax.default_backend() != "tpu"
+
+
+def nearest_hit_pallas(scene: Scene, o, d, t_min=1e-4, alive=None,
+                       interpret=False):
+    """Closest hit for (R, 3) rays → (t (R,), prim_id (R,) int32).
+
+    Drop-in replacement for ops.intersect.nearest_hit_jnp (same id
+    convention); R is padded to a multiple of RT internally. ``alive``
+    ((R,) bool, optional) marks live wavefront lanes — dead lanes return
+    miss and cost (nearly) nothing once sorted into whole-dead tiles.
+    """
+    return _nearest_hit_call(scene, o, d, t_min, alive, False,
+                             _auto_interpret(interpret))
+
+
+def nearest_hit_attrs_pallas(scene: Scene, o, d, t_min=1e-4, alive=None,
+                             interpret=False):
+    """Closest hit PLUS winner shading attributes extracted in-kernel:
+    returns (t (R,), prim_id (R,), attrs (R, 16)) with attr columns
+    [normal(3, unnormalized blend) | albedo(3) | emission(3) |
+    emission_strength | smoothness | pad(5)]. Replaces the XLA
+    winner-gather (hit_attributes) on the forward path; see
+    intersect.fused_intersect for the custom_vjp that keeps training
+    differentiable."""
+    return _nearest_hit_call(scene, o, d, t_min, alive, True,
+                             _auto_interpret(interpret))

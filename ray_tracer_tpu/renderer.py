@@ -81,8 +81,12 @@ def _spread8(x):
 
 
 def _ray_sort_key(lo, hi, o, d, alive):
-    """uint32 sort key: dead rays to the back; live rays grouped by
-    direction octant (3 bits) then 24-bit Morton cell of the origin."""
+    """uint32 sort key: dead rays to the back; live rays grouped by 24-bit
+    Morton cell of the ORIGIN first, direction octant last. Origin-major
+    matters: the kernel's cluster culling keys off where rays start (the
+    entering-cluster span), so origin locality per 128-ray tile is what
+    buys skipped chunks; octant-major ordering scatters origins from the
+    whole frame into each tile (measured 2× slower)."""
     ext = jnp.maximum(hi - lo, 1e-12)
     q = jnp.clip((o - lo) / ext * 255.0, 0.0, 255.0).astype(jnp.uint32)
     morton = ((_spread8(q[:, 0]) << 2) | (_spread8(q[:, 1]) << 1)
@@ -90,7 +94,7 @@ def _ray_sort_key(lo, hi, o, d, alive):
     octant = ((d[:, 0] > 0).astype(jnp.uint32)
               | ((d[:, 1] > 0).astype(jnp.uint32) << 1)
               | ((d[:, 2] > 0).astype(jnp.uint32) << 2))
-    key = (octant << 24) | morton
+    key = (morton << 3) | octant
     return jnp.where(alive, key, jnp.uint32(0xFFFFFFFF))
 
 
@@ -259,6 +263,14 @@ def _blocked_order(W: int, H: int, bw: int = 16, bh: int = 8):
     return order, inverse
 
 
+def _unblock_image(img_flat, W: int, H: int, bw: int = 16, bh: int = 8):
+    """Inverse of the blocked pixel order as reshape+transpose — a relayout
+    XLA compiles far better than a 2M-element gather. Requires W % bw ==
+    H % bh == 0 (render_frame falls back to the gather otherwise)."""
+    return (img_flat.reshape(H // bh, W // bw, bh, bw, 3)
+            .transpose(0, 2, 1, 3, 4).reshape(H * W, 3))
+
+
 @functools.partial(jax.jit, static_argnames=("params",))
 def render_frame(scene: Scene, basis: CameraBasis, params: RenderParams,
                  frame_index):
@@ -292,7 +304,10 @@ def render_frame(scene: Scene, basis: CameraBasis, params: RenderParams,
     else:
         img = render_pixels(scene, basis, params, frame_index, pixel_ids)
     if blocked:
-        img = img[jnp.asarray(inverse)]  # back to raster order
+        if W % 16 == 0 and H % 8 == 0:
+            img = _unblock_image(img, W, H)
+        else:
+            img = img[jnp.asarray(inverse)]  # back to raster order
     return img.reshape(H, W, 3)
 
 

@@ -1,0 +1,94 @@
+"""Fused in-kernel attribute extraction vs the jnp oracle path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import ray_tracer_tpu as rt
+from ray_tracer_tpu.ops.intersect import (
+    fused_intersect, hit_attributes, intersect, nearest_hit_jnp)
+from ray_tracer_tpu.ops import pallas_intersect as pk
+
+# pallas auto-interprets off-TPU (pallas_intersect._auto_interpret)
+
+
+def _rand_rays(n, seed=0):
+    rng = np.random.default_rng(seed)
+    o = jnp.asarray(rng.normal(size=(n, 3)) * 5, jnp.float32)
+    d = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    return o, d
+
+
+def _check_scene(scene, o, d):
+    fused = fused_intersect(scene, o, d, 1e-4, None)
+    t_ref, pid = nearest_hit_jnp(scene, o, d, 1e-4)
+    ref = hit_attributes(scene, o, d, pid, jnp.isinf(t_ref), 1e-4)
+    np.testing.assert_array_equal(np.asarray(fused.hit), np.asarray(ref.hit))
+    m = np.asarray(ref.hit)
+    for field in ("normal", "albedo", "emission"):
+        np.testing.assert_allclose(np.asarray(getattr(fused, field))[m],
+                                   np.asarray(getattr(ref, field))[m],
+                                   rtol=5e-4, atol=2e-5, err_msg=field)
+    np.testing.assert_allclose(np.asarray(fused.emission_strength)[m],
+                               np.asarray(ref.emission_strength)[m], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fused.smoothness)[m],
+                               np.asarray(ref.smoothness)[m], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fused.t)[m], np.asarray(ref.t)[m],
+                               rtol=5e-4)
+
+
+def test_fused_attrs_spheres_and_tris():
+    scene, _ = rt.builtin_scene("room", pad=128)
+    _check_scene(scene, *_rand_rays(384, seed=1))
+
+
+def test_fused_attrs_many_spheres():
+    scene, _ = rt.builtin_scene("random_balls", seed=3, pad=128)
+    _check_scene(scene, *_rand_rays(384, seed=2))
+
+
+def test_fused_attrs_mesh():
+    rng = np.random.default_rng(5)
+    b = rt.SceneBuilder()
+    for t in rng.normal(size=(80, 3, 3)) * 4:
+        b.add_mesh(t, rng.normal(size=(3, 3)), [0, 1, 2],
+                   albedo=tuple(rng.random(3)),
+                   emission=tuple(rng.random(3)),
+                   emission_strength=float(rng.random()),
+                   smoothness=float(rng.random()))
+    scene = b.build(pad=128)
+    _check_scene(scene, *_rand_rays(384, seed=4))
+
+
+def test_fused_gradients_match_oracle():
+    """custom_vjp backward must reproduce the jnp path's gradients."""
+    scene, _ = rt.builtin_scene("metal", pad=128)
+    o, d = _rand_rays(128, seed=6)
+
+    def loss_fused(albedo):
+        import dataclasses
+        s = dataclasses.replace(scene, sphere_albedo=albedo)
+        h = fused_intersect(s, o, d, 1e-4, None)
+        return jnp.sum(jnp.where(h.hit[:, None], h.albedo + h.normal, 0.0))
+
+    def loss_ref(albedo):
+        import dataclasses
+        s = dataclasses.replace(scene, sphere_albedo=albedo)
+        h = intersect(s, o, d, backend="jnp")
+        return jnp.sum(jnp.where(h.hit[:, None], h.albedo + h.normal, 0.0))
+
+    g_fused = np.asarray(jax.grad(loss_fused)(scene.sphere_albedo))
+    g_ref = np.asarray(jax.grad(loss_ref)(scene.sphere_albedo))
+    np.testing.assert_allclose(g_fused, g_ref, rtol=1e-4, atol=1e-6)
+
+
+def test_renderer_uses_fused_and_matches_jnp():
+    scene, cam = rt.builtin_scene("room", aspect=1.0)
+    basis = rt.camera_basis(cam)
+    from ray_tracer_tpu.renderer import render_frame
+    p_j = rt.RenderParams(width=16, height=16, bounces=2, skybox=True,
+                          backend="jnp")
+    p_p = p_j.replace(backend="pallas")
+    a = np.asarray(render_frame(scene, basis, p_j, jnp.int32(0)))
+    b = np.asarray(render_frame(scene, basis, p_p, jnp.int32(0)))
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-4)

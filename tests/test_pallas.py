@@ -114,21 +114,9 @@ def test_renderer_pallas_backend_matches_jnp():
     import ray_tracer_tpu.ops.intersect as intersect_mod
     import ray_tracer_tpu.ops.pallas_intersect as pk
 
-    if INTERPRET:
-        # route backend="pallas" through interpret mode for the CPU harness
-        orig = pk.nearest_hit_pallas
-        pk_interp = lambda scene, o, d, t_min=1e-4, alive=None: orig(
-            scene, o, d, t_min, alive=alive, interpret=True)
-        try:
-            setattr(pk, "nearest_hit_pallas", pk_interp)
-            p_p = rt.RenderParams(width=16, height=16, bounces=2, skybox=True,
-                                  backend="pallas")
-            img_p = render_frame(scene, basis, p_p, jnp.int32(0))
-        finally:
-            setattr(pk, "nearest_hit_pallas", orig)
-    else:
-        p_p = rt.RenderParams(width=16, height=16, bounces=2, skybox=True,
-                              backend="pallas")
-        img_p = render_frame(scene, basis, p_p, jnp.int32(0))
+    # pallas auto-interprets off-TPU — no patching needed
+    p_p = rt.RenderParams(width=16, height=16, bounces=2, skybox=True,
+                          backend="pallas")
+    img_p = render_frame(scene, basis, p_p, jnp.int32(0))
     np.testing.assert_allclose(np.asarray(img_j), np.asarray(img_p),
                                rtol=1e-4, atol=1e-5)

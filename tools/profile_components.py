@@ -36,7 +36,15 @@ def timeit(label, fn, *args):
     @jax.jit
     def looped(*a):
         def body(c, _):
-            out = fn(*a)
+            # perturb the first float arg by the carry so XLA cannot hoist
+            # the body out of the scan (identical-input iterations get CSE'd
+            # and the timing under-reports by a factor of REPS)
+            a2 = list(a)
+            for i, x in enumerate(a2):
+                if hasattr(x, "dtype") and x.dtype == jnp.float32:
+                    a2[i] = x + c * 1e-30
+                    break
+            out = fn(*a2)
             # fold outputs into a scalar so nothing is dead-code-eliminated;
             # c makes iterations sequential
             s = sum(jnp.sum(jnp.where(jnp.isfinite(x.astype(jnp.float32)),
