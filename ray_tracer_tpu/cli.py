@@ -71,6 +71,8 @@ def _build(args):
 
 
 def cmd_render(args):
+    import numpy as np
+
     scene, cam, params = _build(args)
     if args.resume:
         from .utils.checkpoint import load_renderer
@@ -78,9 +80,19 @@ def cmd_render(args):
     else:
         r = Renderer(scene, cam, params)
     t0 = time.time()
-    for i in range(args.frames):
-        img = r.step()
-    img.block_until_ready()
+    if args.frames > 1 and r.frames == -1 and params.accumulate:
+        # batch path: all frames accumulate on-device in one dispatch
+        # (per-dispatch latency dominates interactive stepping)
+        from .renderer import camera_basis, render_progressive
+        basis = camera_basis(r.camera)
+        img = render_progressive(scene, basis, params, args.frames)
+        r._image = img
+        r.frames = args.frames - 1
+    else:
+        for i in range(args.frames):
+            img = r.step()
+    img = np.asarray(img)  # sync (block_until_ready is unreliable on
+    #                        tunneled TPU backends)
     dt = time.time() - t0
     if args.checkpoint:
         from .utils.checkpoint import save_renderer
@@ -96,13 +108,15 @@ def cmd_render(args):
 
 
 def cmd_benchmark(args):
+    import numpy as np
+
+    from .renderer import camera_basis, render_progressive
+
     scene, cam, params = _build(args)
-    r = Renderer(scene, cam, params)
-    r.step().block_until_ready()  # compile + warmup
+    basis = camera_basis(cam.replace(aspect=params.aspect))
+    np.asarray(render_progressive(scene, basis, params, args.frames))
     t0 = time.time()
-    for _ in range(args.frames):
-        img = r.step()
-    img.block_until_ready()
+    np.asarray(render_progressive(scene, basis, params, args.frames))
     dt = time.time() - t0
     segments = (params.width * params.height * params.rays_per_pixel
                 * (params.bounces + 1) * args.frames)

@@ -318,17 +318,9 @@ def accumulate(prev, frame_img, frame_index):
 
 
 @functools.partial(jax.jit, static_argnames=("params", "frames"))
-def render_progressive(scene: Scene, basis: CameraBasis, params: RenderParams,
-                       frames: int, start_frame=0):
-    """``frames`` progressive frames accumulated ON DEVICE in one XLA
-    program (lax.scan over the frame index). One host→device dispatch total
-    — per-launch latency no longer multiplies with frame count, and the
-    accumulation recurrence (wgsl:59-66) fuses into the frame loop. Returns
-    the accumulated (H, W, 3) image.
-
-    Equivalent to calling ``render_frame`` + ``accumulate`` per frame
-    starting at ``start_frame`` (the Renderer class uses that pair for
-    interactive stepping; use this for headless/batch rendering)."""
+def _render_progressive_chunk(scene: Scene, basis: CameraBasis,
+                              params: RenderParams, frames: int,
+                              start_frame, image0):
     start = jnp.int32(start_frame)
 
     def step(img, k):
@@ -336,9 +328,30 @@ def render_progressive(scene: Scene, basis: CameraBasis, params: RenderParams,
         frame_img = render_frame(scene, basis, params, f)
         return accumulate(img, frame_img, f), None
 
+    img, _ = jax.lax.scan(step, image0, jnp.arange(frames, dtype=jnp.int32))
+    return img
+
+
+def render_progressive(scene: Scene, basis: CameraBasis, params: RenderParams,
+                       frames: int, start_frame=0, image0=None,
+                       chunk: int = 8):
+    """``frames`` progressive frames accumulated ON DEVICE via lax.scan —
+    per-launch latency no longer multiplies with frame count, and the
+    accumulation recurrence (wgsl:59-66) fuses into the frame loop. Work is
+    issued in ``chunk``-frame compiled programs so one compilation serves
+    any frame count. Returns the accumulated (H, W, 3) image.
+
+    Equivalent to calling ``render_frame`` + ``accumulate`` per frame
+    starting at ``start_frame`` (the Renderer class uses that pair for
+    interactive stepping; use this for headless/batch rendering)."""
     H, W = params.height, params.width
-    init = jnp.zeros((H, W, 3), jnp.float32)
-    img, _ = jax.lax.scan(step, init, jnp.arange(frames, dtype=jnp.int32))
+    img = (jnp.zeros((H, W, 3), jnp.float32) if image0 is None else image0)
+    done = 0
+    while done < frames:
+        k = min(chunk, frames - done)
+        img = _render_progressive_chunk(scene, basis, params, k,
+                                        start_frame + done, img)
+        done += k
     return img
 
 
