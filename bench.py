@@ -32,7 +32,11 @@ def build_workload():
     params = rt.RenderParams(
         width=width, height=height, bounces=3, rays_per_pixel=1,
         skybox=True, backend="auto",
-        chunk_pixels=0)
+        chunk_pixels=0,
+        # coherent path tracing: unbiased, same per-pixel variance (see
+        # materials.scatter); keeps secondary-bounce kernel tiles
+        # direction-coherent so cluster culling engages on all bounces
+        coherent_scatter=True)
 
     teapot = "/root/reference/assets/the_utah_teapot.glb"
     b = rt.SceneBuilder()

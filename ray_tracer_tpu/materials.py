@@ -50,7 +50,8 @@ def schlick_reflectance(cosine, refraction_ratio):
     return r0 + (1.0 - r0) * jnp.power(1.0 - cosine, 5.0)
 
 
-def scatter(state, d, normal, smoothness, cosine_sampling: bool = False):
+def scatter(state, d, normal, smoothness, cosine_sampling: bool = False,
+            share_tile: int = 0):
     """Compute the scattered direction for every lane.
 
     Args:
@@ -58,6 +59,19 @@ def scatter(state, d, normal, smoothness, cosine_sampling: bool = False):
       d: incoming (unnormalized) ray directions (R, 3).
       normal: outward surface normals at the hit (R, 3), unit length.
       smoothness: per-lane material smoothness (R,); -1 marks dielectric.
+      share_tile: if > 0 (and it divides R), all lanes of each
+        ``share_tile``-ray tile share ONE unit-sphere draw for the diffuse
+        lobe (coherent path tracing). Each ray's direction is still
+        marginally exact — the shared draw is uniform on the sphere and
+        the per-lane flip/normal-offset preserves the hemisphere /
+        cosine distribution — so the estimator stays unbiased with
+        identical per-pixel variance; only cross-pixel covariance within
+        a tile (single-frame blockiness that averages out over frames)
+        changes. What it buys: secondary-bounce kernel tiles carry a
+        coherent direction cone, so cluster culling keeps working after
+        the first bounce (~5% whole-frame on the open teapot scene, where
+        87% of rays die at bounce 0; the win grows with bounce-survival —
+        interior/occluded scenes).
 
     Returns:
       (state, new_dir (R, 3), is_dielectric (R,) bool).
@@ -72,14 +86,32 @@ def scatter(state, d, normal, smoothness, cosine_sampling: bool = False):
     is_dielectric = smoothness < 0.0
 
     # --- diffuse ⊕ glossy path -------------------------------------------
+    sharing = share_tile and state.shape[0] % share_tile == 0
+    if sharing:
+        # one sphere draw per tile, from a decorrelated copy of lane 0's
+        # state (strided slice — no gather); broadcast is a free relayout
+        tiles = state.shape[0] // share_tile
+        tstate = state[::share_tile] ^ jnp.uint32(0x9E3779B1)
+        _, sph_t = sampling.unit_sphere(tstate)
+        sph = jnp.broadcast_to(sph_t[:, None, :],
+                               (tiles, share_tile, 3)).reshape(-1, 3)
+        # advance every lane once so per-lane streams stay decoupled from
+        # the tile draw without a second generator
+        state, _ = sampling.next_u32(state)
     if cosine_sampling:
         # cosine-weighted (RTiOW Lambertian): normalize(n + unit_sphere);
         # with throughput *= albedo this realizes f = albedo·cos/π
-        state, sph = sampling.unit_sphere(state)
+        if not sharing:
+            state, sph = sampling.unit_sphere(state)
         v = normal + sph
         n2 = jnp.sum(v * v, axis=-1, keepdims=True)
         diffuse_dir = jnp.where(n2 > 1e-12, v / jnp.sqrt(jnp.maximum(n2, 1e-12)),
                                 normal)
+    elif sharing:
+        # hemisphere flip of the shared sphere draw around each lane's
+        # own normal (wgsl:211-214 semantics, shared base vector)
+        sflip = jnp.sum(sph * normal, axis=-1, keepdims=True)
+        diffuse_dir = sph * jnp.where(sflip >= 0.0, 1.0, -1.0)
     else:
         state, diffuse_dir = sampling.hemisphere(state, normal)
     specular_dir = reflect(unit_d, normal)

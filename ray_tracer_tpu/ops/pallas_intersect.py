@@ -51,9 +51,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..scene import Scene
 
-RT = 128          # rays per grid step (lane axis)
-CLUSTER = 128     # triangles per cullable chunk (sublane axis); scene
-                  # padding guarantees TP % 128 == 0
+import os
+
+# rays per grid step (lane axis; multiples of 128 lanes). Larger tiles
+# amortize the per-grid-step fixed cost (DMA + prepass + Mosaic loop
+# overhead) over more rays at the price of coarser culling granularity
+# (the cluster union of a bigger pixel footprint).
+RT = int(os.environ.get("RTT_RT", "128"))
+# triangles per cullable chunk (sublane axis); must divide the scene's
+# triangle padding (a multiple of 128). Overridable for tuning sweeps.
+CLUSTER = int(os.environ.get("RTT_CLUSTER", "128"))
 SPH_TT = 256      # spheres per chunk
 BIG_ID = 2 ** 30  # plain int: jnp scalars would be captured as consts
 TRI_DET_EPS = 1e-6  # matches wgsl:140
@@ -205,15 +212,15 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int, csize: int,
                    + (jnp.int32(SP) + s))
             _min_fold_refs(t, valid, ids, bt_ref, bi_ref)
 
-        def cluster_span():
-            """Vectorized slab test of ALL cluster AABBs at once → the
-            contiguous span [first, last] of entering clusters.
+        def cluster_prepass():
+            """Vectorized slab test of ALL cluster AABBs at once → per-
+            cluster enter flags, the span [first, last] of entering
+            clusters, and the NEAREST entering cluster c0.
 
             One (C, RT) batch — no per-cluster scalar loads or branches,
             which otherwise cost as much as the culled triangle math. The
-            unconditional span relies on Morton order making entering
-            clusters (a compact tile frustum × a space-filling curve)
-            contiguous; slack clusters inside the span are just tested.
+            span relies on Morton order making entering clusters (a compact
+            tile frustum × a space-filling curve) contiguous.
             """
             C = clu_ref.shape[0]
             lox, loy, loz = clu_ref[:, 0:1], clu_ref[:, 1:2], clu_ref[:, 2:3]
@@ -227,28 +234,65 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int, csize: int,
             tf = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
                                          jnp.maximum(t1y, t2y)),
                              jnp.maximum(t1z, t2z))
-            # progressive tightening: spheres already folded into best_t
+            # initial tightening: spheres already folded into best_t
             enter = (tf >= tn) & alive & (tn < bt_ref[0:1, :])
             flag = jnp.max(jnp.where(enter, 1, 0), axis=1, keepdims=True)
             flag_ref[:, :] = jnp.broadcast_to(flag, flag_ref.shape)
             cidx = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
             first = jnp.min(jnp.where(flag > 0, cidx, C))
             last = jnp.max(jnp.where(flag > 0, cidx, -1))
-            return first, last
+            # nearest entering cluster = argmin of the tile-min entry
+            # distance; the traversal spirals outward from it
+            tn_tile = jnp.min(jnp.where(enter, tn, jnp.inf), axis=1,
+                              keepdims=True)                     # (C, 1)
+            c0 = jnp.min(jnp.where(tn_tile <= jnp.min(tn_tile), cidx, C))
+            return first, last, jnp.minimum(c0, last)
 
-        def span_body(c, carry):
-            # per-cluster flag read (one scalar) skips Morton-span slack
-            @pl.when(flag_ref[c, 0] > 0)
-            def _():
-                tri_block(c * csize)
-            return carry
+        def make_order_body(first, last, c0):
+            def order_body(k, carry):
+                # center-out visit order c0, c0+1, c0-1, c0+2, … — a
+                # near-to-far proxy (Morton neighbors are spatial
+                # neighbors), so early hits tighten best_t before far
+                # clusters are re-tested, and the re-test culls them:
+                # BVH-style early-out on a flat cluster array
+                off = (k + 1) // 2
+                c = c0 + jnp.where(k % 2 == 1, off, -off)
+
+                @pl.when((c >= first) & (c <= last) & (flag_ref[c, 0] > 0))
+                def _():
+                    # re-test this cluster against the CURRENT best before
+                    # paying for its csize×RT Möller–Trumbore tile
+                    lox, loy, loz = (clu_ref[c, 0], clu_ref[c, 1],
+                                     clu_ref[c, 2])
+                    hix, hiy, hiz = (clu_ref[c, 3], clu_ref[c, 4],
+                                     clu_ref[c, 5])
+                    t1x, t2x = (lox - ox) * invdx, (hix - ox) * invdx
+                    t1y, t2y = (loy - oy) * invdy, (hiy - oy) * invdy
+                    t1z, t2z = (loz - oz) * invdz, (hiz - oz) * invdz
+                    tn = jnp.maximum(
+                        jnp.maximum(jnp.minimum(t1x, t2x),
+                                    jnp.minimum(t1y, t2y)),
+                        jnp.maximum(jnp.minimum(t1z, t2z), t_min))
+                    tf = jnp.minimum(
+                        jnp.minimum(jnp.maximum(t1x, t2x),
+                                    jnp.maximum(t1y, t2y)),
+                        jnp.maximum(t1z, t2z))
+                    enter = (tf >= tn) & alive & (tn < bt_ref[0:1, :])
+
+                    @pl.when(jnp.any(enter))
+                    def _():
+                        tri_block(c * csize)
+                return carry
+            return order_body
 
         @pl.when(jnp.any(alive))
         def _():
             # fully-dead tiles (compacted wavefront tail) skip everything
             jax.lax.fori_loop(0, n_sph_chunks, sphere_chunk, 0)
-            first, last = cluster_span()
-            jax.lax.fori_loop(first, last + 1, span_body, 0)
+            first, last, c0 = cluster_prepass()
+            n_steps = 2 * jnp.maximum(last - c0, c0 - first) + 1
+            jax.lax.fori_loop(0, n_steps, make_order_body(first, last, c0),
+                              0)
 
         if want_attrs:
             # ---- winner-attribute extraction (one-hot masked sums) ------
@@ -394,7 +438,9 @@ def _nearest_hit_call(scene: Scene, o, d, t_min, alive, want_attrs,
     scratch = [
         pltpu.VMEM((8, RT), jnp.float32),   # running best t
         pltpu.VMEM((8, RT), jnp.int32),     # running best prim id
-        pltpu.VMEM((TP // csize, RT), jnp.int32),  # cluster-enter flags
+        pltpu.VMEM((TP // csize, 128), jnp.int32),  # cluster-enter flags
+        # (fixed 128-lane rows: one vreg per row keeps the dynamic
+        # flag_ref[c, 0] read aligned for any RT)
     ]
     if want_attrs:
         out_specs.append(pl.BlockSpec((16, RT), lambda i: (0, i),

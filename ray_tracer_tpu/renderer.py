@@ -80,6 +80,33 @@ def _spread8(x):
     return x
 
 
+def _octant_order(d, alive):
+    """O(R) stable counting-sort permutation by (alive, direction octant).
+
+    Returns ``order`` such that ``x[order]`` groups live rays into 8
+    direction-octant buckets (dead rays last), preserving pixel-block
+    order within each bucket. Coherence this buys per 128-ray kernel tile:
+    directions confined to a 90° cone AND origins still from adjacent
+    pixel blocks (stability) — enough for cluster culling to engage on
+    secondary bounces — at ~1/20 the cost of the Morton argsort path
+    (cumsum + one scatter instead of a 2M-key sort).
+    """
+    R = d.shape[0]
+    octant = ((d[:, 0] > 0).astype(jnp.int32)
+              + ((d[:, 1] > 0).astype(jnp.int32) << 1)
+              + ((d[:, 2] > 0).astype(jnp.int32) << 2))
+    bucket = jnp.where(alive, octant, 8)                        # dead → last
+    onehot = (bucket[None, :] == jnp.arange(9)[:, None]).astype(jnp.int32)
+    within = jnp.cumsum(onehot, axis=1) - 1                     # (9, R)
+    counts = within[:, -1] + 1
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
+    pos = (jnp.sum(onehot * (offsets[:, None] + within), axis=0)
+           .astype(jnp.int32))                                  # new slot
+    return jnp.zeros((R,), jnp.int32).at[pos].set(
+        jnp.arange(R, dtype=jnp.int32))
+
+
 def _ray_sort_key(lo, hi, o, d, alive):
     """uint32 sort key: dead rays to the back; live rays grouped by 24-bit
     Morton cell of the ORIGIN first, direction octant last. Origin-major
@@ -110,8 +137,11 @@ def trace(scene: Scene, o, d, state, params: RenderParams):
     Returns: (state, radiance (R, 3)).
     """
     R = o.shape[0]
-    compacting = params.compaction and resolved_backend(params) == "pallas"
-    if compacting:
+    compaction = params.compaction
+    if compaction is True:
+        compaction = "morton"
+    compacting = bool(compaction) and resolved_backend(params) == "pallas"
+    if compacting and compaction == "morton":
         aabb_lo, aabb_hi = _scene_aabb(scene)
     if params.nee:
         light_table = build_light_table(scene)
@@ -135,10 +165,13 @@ def trace(scene: Scene, o, d, state, params: RenderParams):
     def bounce(carry, seg_index):
         o, d, throughput, incoming, alive, emission_ok, state, slot = carry
         if compacting:
-            # wavefront compaction: group live rays by direction octant +
-            # origin Morton cell so kernel tiles stay coherent; dead rays
-            # collapse into whole tiles the kernel skips entirely
-            order = jnp.argsort(_ray_sort_key(aabb_lo, aabb_hi, o, d, alive))
+            # wavefront compaction: reorder so kernel tiles stay coherent
+            # and dead rays collapse into whole tiles the kernel skips
+            if compaction == "morton":
+                order = jnp.argsort(
+                    _ray_sort_key(aabb_lo, aabb_hi, o, d, alive))
+            else:  # "octant": O(R) counting sort, no argsort
+                order = _octant_order(d, alive)
             o, d, throughput, incoming, alive, emission_ok, state, slot = (
                 x[order] for x in (o, d, throughput, incoming, alive,
                                    emission_ok, state, slot))
@@ -150,7 +183,8 @@ def trace(scene: Scene, o, d, state, params: RenderParams):
         # Scatter every lane (branchless); only active-hit lanes keep results.
         state, new_dir, is_dielectric = materials.scatter(
             state, d, h.normal, h.smoothness,
-            cosine_sampling=params.cosine_sampling)
+            cosine_sampling=params.cosine_sampling,
+            share_tile=(128 if params.coherent_scatter else 0))
 
         # Dielectric forces white albedo (wgsl:241).
         albedo = jnp.where(is_dielectric[:, None], 1.0, h.albedo)
@@ -283,7 +317,12 @@ def render_frame(scene: Scene, basis: CameraBasis, params: RenderParams,
     """
     W, H = params.width, params.height
     n = H * W
-    blocked = resolved_backend(params) == "pallas"
+    # blocked pixel order whenever tiles matter: always for the Pallas
+    # kernel; for the jnp backend too when coherent_scatter is on, so both
+    # backends assign pixels to the same 128-ray tiles (bit-identical
+    # sample streams → backend parity tests stay exact)
+    blocked = (resolved_backend(params) == "pallas"
+               or params.coherent_scatter)
     if blocked:
         order, inverse = _blocked_order(W, H)
         pixel_ids = jnp.asarray(order)

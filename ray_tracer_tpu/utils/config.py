@@ -50,15 +50,20 @@ class RenderParams:
     # materializes O(chunk × primitives) in HBM; the Pallas backend tiles
     # internally and can take the whole frame.
     chunk_pixels: int = 0
-    # Wavefront compaction: sort rays between bounces by (alive, direction
-    # octant, Morton cell of origin) so the Pallas kernel's 128-ray tiles
-    # stay spatially coherent (cluster culling) and dead rays collapse into
-    # whole tiles that skip all work. Ignored by the jnp backend.
-    # Default off: measured on TPU v5e (1080p teapot), the per-bounce
-    # argsort+permute costs more than the extra tile coherence saves; the
-    # kernel's own alive-masking already skips dead work. Enable for
-    # heavily-occluded scenes with long bounce chains.
-    compaction: bool = False
+    # Wavefront compaction: reorder rays between bounces so the Pallas
+    # kernel's 128-ray tiles stay coherent (cluster culling engages on
+    # secondary bounces) and dead rays collapse into whole tiles that are
+    # skipped. Ignored by the jnp backend. Modes:
+    #   False     — no reordering; tiles keep pixel-block order.
+    #   "octant"  — O(R) stable counting sort by (alive, direction
+    #               octant): directions per tile confined to a 90° cone,
+    #               origins still pixel-block coherent. Cheap (cumsum +
+    #               scatter, no argsort).
+    #   "morton" / True — full argsort by (alive, origin Morton cell,
+    #               octant). Tightest tiles but the 2M-key argsort costs
+    #               more than it saves on TPU v5e (measured) — kept for
+    #               heavily-occluded scenes with long bounce chains.
+    compaction: object = False
     # Next-event estimation: explicitly sample emissive primitives with a
     # shadow ray at each diffuse/glossy hit (lights.py). Extension beyond
     # the reference (BASELINE config 4); costs one extra intersection per
@@ -69,6 +74,16 @@ class RenderParams:
     # mirrors) always use pure BSDF sampling.
     nee: bool = False
     nee_smoothness_cutoff: float = 1.0
+    # Coherent path tracing: all 128 rays of a kernel tile share one
+    # unit-sphere draw for the diffuse lobe each bounce (per-lane
+    # hemisphere flip / normal offset keeps every ray's direction
+    # marginally exact — unbiased, same per-pixel variance; single-frame
+    # noise becomes tile-blocky and averages out under accumulation).
+    # Secondary-bounce tiles then carry a coherent direction cone, so the
+    # Pallas kernel's cluster culling keeps working after the first
+    # bounce (~5% whole-frame on the open teapot scene — most rays die at
+    # bounce 0 there; grows with bounce survival). See materials.scatter.
+    coherent_scatter: bool = False
     # Cosine-weighted hemisphere sampling (true Lambertian BRDF) instead of
     # the reference's uniform-hemisphere scatter (wgsl:211-214). Changes
     # the converged look (documented extension; default = reference).
@@ -83,6 +98,8 @@ class RenderParams:
             raise ValueError("rays_per_pixel must be >= 1")
         if self.backend not in ("auto", "jnp", "pallas"):
             raise ValueError(f"unknown backend {self.backend!r}")
+        if self.compaction not in (False, True, "octant", "morton"):
+            raise ValueError(f"unknown compaction {self.compaction!r}")
 
     @property
     def aspect(self) -> float:

@@ -81,3 +81,38 @@ def test_scatter_dielectric_mostly_refracts_at_normal_incidence():
     frac_refracted = float((np.asarray(out)[:, 1] < 0).mean())
     # Schlick at normal incidence = 0.04 → ~96% refract
     assert 0.93 < frac_refracted < 0.99
+
+
+def test_scatter_share_tile_one_draw_per_tile():
+    """share_tile: all lanes of a tile share the diffuse base draw — with a
+    constant normal the flip is identical too, so each tile yields exactly
+    ONE direction, distinct across tiles."""
+    R, T = 1024, 128
+    state = (jnp.arange(R, dtype=jnp.uint32) * jnp.uint32(2654435761)
+             + jnp.uint32(7))
+    d = jnp.tile(jnp.asarray([[0.0, -1.0, 0.0]]), (R, 1))
+    n = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]]), (R, 1))
+    _, out, _ = materials.scatter(state, d, n, jnp.zeros((R,)), share_tile=T)
+    out = np.asarray(out)
+    assert out[:, 1].min() >= 0.0                      # hemisphere
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-5)
+    tile_dirs = []
+    for t in range(R // T):
+        tile = out[t * T:(t + 1) * T]
+        assert np.unique(tile.round(6), axis=0).shape[0] == 1
+        tile_dirs.append(tile[0])
+    assert np.unique(np.asarray(tile_dirs).round(6), axis=0).shape[0] > 4
+
+
+def test_scatter_share_tile_marginal_is_uniform_hemisphere():
+    """The shared draw is still marginally uniform on the hemisphere:
+    E[d] = n/2 over many tiles (each tile contributes one iid draw)."""
+    T, tiles = 128, 512
+    R = T * tiles
+    state = (jnp.arange(R, dtype=jnp.uint32) * jnp.uint32(1000003)
+             + jnp.uint32(3))
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (R, 1))
+    n = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (R, 1))
+    _, out, _ = materials.scatter(state, d, n, jnp.zeros((R,)), share_tile=T)
+    mean = np.asarray(out)[::T].mean(axis=0)           # one lane per tile
+    np.testing.assert_allclose(mean, [0.0, 0.0, 0.5], atol=0.12)

@@ -120,3 +120,20 @@ def test_renderer_pallas_backend_matches_jnp():
     img_p = render_frame(scene, basis, p_p, jnp.int32(0))
     np.testing.assert_allclose(np.asarray(img_j), np.asarray(img_p),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_renderer_backends_match_with_coherent_scatter():
+    """coherent_scatter shares tile draws at the RENDERER level, so both
+    backends (blocked pixel order for both) must stay bit-comparable."""
+    scene, cam = rt.builtin_scene("room", aspect=1.0)
+    basis = rt.camera_basis(cam)
+    from ray_tracer_tpu.renderer import render_frame
+    kw = dict(width=16, height=16, bounces=2, skybox=True,
+              coherent_scatter=True)
+    img_j = render_frame(scene, basis,
+                         rt.RenderParams(backend="jnp", **kw), jnp.int32(0))
+    img_p = render_frame(scene, basis,
+                         rt.RenderParams(backend="pallas", **kw),
+                         jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(img_j), np.asarray(img_p),
+                               rtol=1e-4, atol=1e-5)
