@@ -53,6 +53,12 @@ from ..scene import Scene
 
 import os
 
+# cluster traversal strategy: "span" (ascending sweep of the entering-
+# cluster span, flag-gated) or "centerout" (spiral out from the nearest
+# entering cluster, re-slab-testing each cluster against the running
+# best-t — BVH-style early-out; costs extra scalar work per cluster).
+TRAVERSAL = os.environ.get("RTT_TRAVERSAL", "span")
+
 # rays per grid step (lane axis; multiples of 128 lanes). Larger tiles
 # amortize the per-grid-step fixed cost (DMA + prepass + Mosaic loop
 # overhead) over more rays at the price of coarser culling granularity
@@ -285,14 +291,24 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int, csize: int,
                 return carry
             return order_body
 
+        def span_body(c, carry):
+            # per-cluster flag read (one scalar) skips Morton-span slack
+            @pl.when(flag_ref[c, 0] > 0)
+            def _():
+                tri_block(c * csize)
+            return carry
+
         @pl.when(jnp.any(alive))
         def _():
             # fully-dead tiles (compacted wavefront tail) skip everything
             jax.lax.fori_loop(0, n_sph_chunks, sphere_chunk, 0)
             first, last, c0 = cluster_prepass()
-            n_steps = 2 * jnp.maximum(last - c0, c0 - first) + 1
-            jax.lax.fori_loop(0, n_steps, make_order_body(first, last, c0),
-                              0)
+            if TRAVERSAL == "centerout":
+                n_steps = 2 * jnp.maximum(last - c0, c0 - first) + 1
+                jax.lax.fori_loop(0, n_steps,
+                                  make_order_body(first, last, c0), 0)
+            else:  # "span": ascending flag-gated sweep, no re-test
+                jax.lax.fori_loop(first, last + 1, span_body, 0)
 
         if want_attrs:
             # ---- winner-attribute extraction (one-hot masked sums) ------
