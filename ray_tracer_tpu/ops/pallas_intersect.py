@@ -59,6 +59,10 @@ import os
 # best-t — BVH-style early-out; costs extra scalar work per cluster).
 TRAVERSAL = os.environ.get("RTT_TRAVERSAL", "span")
 
+# rows per Möller–Trumbore sub-block inside a cluster (must divide
+# CLUSTER). Bounds live-temporary footprint ≈ 30·(rows·RT/1024) vregs.
+TRI_ROWS = int(os.environ.get("RTT_TRI_ROWS", "128"))
+
 # rays per grid step (lane axis; multiples of 128 lanes). Larger tiles
 # amortize the per-grid-step fixed cost (DMA + prepass + Mosaic loop
 # overhead) over more rays at the price of coarser culling granularity
@@ -185,22 +189,22 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int, csize: int,
             _min_fold_refs(t, valid, ids, bt_ref, bi_ref)
             return carry
 
-        def tri_block(s):
-            """Möller–Trumbore on csize triangles starting at row s."""
-            ax = tri_ref[pl.ds(s, csize), 0:1]
-            ay = tri_ref[pl.ds(s, csize), 1:2]
-            az = tri_ref[pl.ds(s, csize), 2:3]
-            e1x = tri_ref[pl.ds(s, csize), 3:4]
-            e1y = tri_ref[pl.ds(s, csize), 4:5]
-            e1z = tri_ref[pl.ds(s, csize), 5:6]
-            e2x = tri_ref[pl.ds(s, csize), 6:7]
-            e2y = tri_ref[pl.ds(s, csize), 7:8]
-            e2z = tri_ref[pl.ds(s, csize), 8:9]
-            nx = tri_ref[pl.ds(s, csize), 9:10]
-            ny = tri_ref[pl.ds(s, csize), 10:11]
-            nz = tri_ref[pl.ds(s, csize), 11:12]
+        def tri_rows(s, rows):
+            """Möller–Trumbore on ``rows`` triangles starting at row s."""
+            ax = tri_ref[pl.ds(s, rows), 0:1]
+            ay = tri_ref[pl.ds(s, rows), 1:2]
+            az = tri_ref[pl.ds(s, rows), 2:3]
+            e1x = tri_ref[pl.ds(s, rows), 3:4]
+            e1y = tri_ref[pl.ds(s, rows), 4:5]
+            e1z = tri_ref[pl.ds(s, rows), 5:6]
+            e2x = tri_ref[pl.ds(s, rows), 6:7]
+            e2y = tri_ref[pl.ds(s, rows), 7:8]
+            e2z = tri_ref[pl.ds(s, rows), 8:9]
+            nx = tri_ref[pl.ds(s, rows), 9:10]
+            ny = tri_ref[pl.ds(s, rows), 10:11]
+            nz = tri_ref[pl.ds(s, rows), 11:12]
             # cross/determinant form (wgsl:125-147)
-            aox, aoy, aoz = ox - ax, oy - ay, oz - az          # (csize, RT)
+            aox, aoy, aoz = ox - ax, oy - ay, oz - az          # (rows, RT)
             det = -(dx * nx + dy * ny + dz * nz)
             t_num = aox * nx + aoy * ny + aoz * nz
             daox = aoy * dz - aoz * dy                         # ao × d
@@ -214,9 +218,19 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int, csize: int,
             v = v_num * inv
             valid = ((det >= TRI_DET_EPS) & (t >= t_min)
                      & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & alive)
-            ids = (jax.lax.broadcasted_iota(jnp.int32, (csize, RT), 0)
+            ids = (jax.lax.broadcasted_iota(jnp.int32, (rows, RT), 0)
                    + (jnp.int32(SP) + s))
             _min_fold_refs(t, valid, ids, bt_ref, bi_ref)
+
+        def tri_block(s):
+            """MT on a whole cluster, in TRI_ROWS-row sub-blocks: a
+            (csize,RT) op is csize·RT/1024 vregs and MT keeps ~25-30
+            temporaries live, far beyond the VPU register file — smaller
+            sub-blocks keep live ranges register-resident (spill
+            suspect 2.5 in docs/PERF_NOTES.md). Static Python loop →
+            fully unrolled, no scalar-loop overhead."""
+            for r0 in range(0, csize, TRI_ROWS):
+                tri_rows(s + r0, TRI_ROWS)
 
         def cluster_prepass():
             """Vectorized slab test of ALL cluster AABBs at once → per-
