@@ -7,13 +7,16 @@ rewards (dense 8×128 SIMD tiles, compiler-visible control flow) instead of
 per-thread stack traversal (which would need per-lane gathers TPUs don't
 have):
 
-  * grid over ray tiles: RT=128 rays on the 128-lane axis; the whole scene
-    (SoA planes) is VMEM-resident (teapot ≈ 1 MB packed << 16 MB VMEM), so
-    per-pair values never touch HBM,
+  * grid over ray blocks: each grid step loads ``step_tiles`` cull tiles of
+    RT=128 rays (lane axis); the whole scene (SoA planes) is VMEM-resident
+    (teapot ≈ 1 MB packed << 16 MB VMEM), so per-pair values never touch
+    HBM. Multiple tiles per step amortize the per-grid-step fixed cost
+    (DMA orchestration + Mosaic loop overhead) while keeping the 128-ray
+    culling granularity,
   * triangles are Morton-sorted at scene build (scene.SceneBuilder.build)
-    and grouped into fixed chunks of CLUSTER rows; each chunk's AABB is
+    and grouped into fixed chunks of ``cluster`` rows; each chunk's AABB is
     slab-tested against the whole ray tile first, and `@pl.when` skips the
-    chunk's Möller–Trumbore tile (CLUSTER×RT VPU ops) when NO live ray
+    chunk's Möller–Trumbore tile (cluster×RT VPU ops) when NO live ray
     enters the box closer than its current best — tile-granular divergence
     as a real scalar branch (the running best lives in VMEM scratch refs
     precisely so the culled block is side-effect-only: lax.cond over
@@ -38,11 +41,17 @@ Layout notes (measured, both ways):
   * VMEM pads the last dim to 128 lanes, so the triangle planes are ONE
     (TP, 32) array (8 MB padded) carrying geometry + shading rather than
     two arrays (16 MB — OOM).
+
+Tuning knobs ride a ``KConfig`` (resolved from RTT_* env vars per call by
+the public wrappers; pass ``cfg`` explicitly for in-process sweeps —
+tools/ab_kernel.py).
 """
 
 from __future__ import annotations
 
 import functools
+import os
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -51,29 +60,52 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..scene import Scene
 
-import os
-
-# cluster traversal strategy: "span" (ascending sweep of the entering-
-# cluster span, flag-gated) or "centerout" (spiral out from the nearest
-# entering cluster, re-slab-testing each cluster against the running
-# best-t — BVH-style early-out; costs extra scalar work per cluster).
-TRAVERSAL = os.environ.get("RTT_TRAVERSAL", "span")
-
-# rows per Möller–Trumbore sub-block inside a cluster (must divide
-# CLUSTER). Bounds live-temporary footprint ≈ 30·(rows·RT/1024) vregs.
-TRI_ROWS = int(os.environ.get("RTT_TRI_ROWS", "128"))
-
-# rays per grid step (lane axis; multiples of 128 lanes). Larger tiles
-# amortize the per-grid-step fixed cost (DMA + prepass + Mosaic loop
-# overhead) over more rays at the price of coarser culling granularity
-# (the cluster union of a bigger pixel footprint).
-RT = int(os.environ.get("RTT_RT", "128"))
-# triangles per cullable chunk (sublane axis); must divide the scene's
-# triangle padding (a multiple of 128). Overridable for tuning sweeps.
-CLUSTER = int(os.environ.get("RTT_CLUSTER", "128"))
 SPH_TT = 256      # spheres per chunk
 BIG_ID = 2 ** 30  # plain int: jnp scalars would be captured as consts
 TRI_DET_EPS = 1e-6  # matches wgsl:140
+
+
+class KConfig(NamedTuple):
+    """Static kernel-tuning knobs (hashable → usable as a jit static arg).
+
+    rt:         rays per cull tile (lane axis; multiple of 128). The culling
+                granularity: one slab prepass + one traversal per tile.
+    cluster:    triangles per cullable chunk (sublane axis); must divide the
+                scene's triangle padding (a multiple of 128).
+    tri_rows:   rows per Möller–Trumbore sub-block inside a cluster (must
+                divide cluster). Bounds live-temporary footprint
+                ≈ 30·(rows·rt/1024) vregs.
+    step_tiles: cull tiles per grid step. >1 amortizes per-grid-step fixed
+                cost (DMA + pipeline orchestration) over more rays without
+                coarsening the culling tile.
+    traversal:  cluster visit order —
+                "span":      ascending sweep of the entering-cluster Morton
+                             span, flag-gated per cluster,
+                "centerout": spiral out from the nearest entering cluster,
+                             re-slab-testing against the running best-t
+                             (BVH-style early-out; extra scalar work),
+                "nocull":    unconditional sweep of ALL clusters (ablation:
+                             isolates scalar/predication overhead),
+                "prepassonly": slab prepass but NO triangle tests (ablation:
+                             measures everything-but-MT; results are wrong).
+    """
+    rt: int = 128
+    cluster: int = 128
+    tri_rows: int = 128
+    step_tiles: int = 1
+    traversal: str = "span"
+
+
+def env_config() -> KConfig:
+    """KConfig from RTT_* env vars (read per call, so tests/sweeps can
+    change them without reimporting)."""
+    return KConfig(
+        rt=int(os.environ.get("RTT_RT", "128")),
+        cluster=int(os.environ.get("RTT_CLUSTER", "128")),
+        tri_rows=int(os.environ.get("RTT_TRI_ROWS", "128")),
+        step_tiles=int(os.environ.get("RTT_STEP_TILES", "1")),
+        traversal=os.environ.get("RTT_TRAVERSAL", "span"),
+    )
 
 
 def _pack_tris(scene: Scene):
@@ -145,10 +177,11 @@ def _min_fold_refs(t_pairs, valid, ids, bt_ref, bi_ref):
     bi_ref[0:1, :] = jnp.where(better, cid, bi_ref[0:1, :])
 
 
-def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int, csize: int,
-                 want_attrs: bool):
+def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
+                 want_attrs: bool, cfg: KConfig):
     n_sph_chunks = SP // tt_s
-    n_clusters = TP // csize
+    RT, csize = cfg.rt, cfg.cluster
+    tri_sub = min(cfg.tri_rows, csize)
 
     def kernel(ray_ref, sph_ref, tri_ref, clu_ref, *outs_and_scratch):
         if want_attrs:
@@ -156,295 +189,331 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int, csize: int,
              acc_ref) = outs_and_scratch
         else:
             t_out, id_out, bt_ref, bi_ref, flag_ref = outs_and_scratch
-        # ray_ref: (8, RT) rows [ox oy oz dx dy dz alive ·]
-        ox, oy, oz = ray_ref[0:1, :], ray_ref[1:2, :], ray_ref[2:3, :]
-        dx, dy, dz = ray_ref[3:4, :], ray_ref[4:5, :], ray_ref[5:6, :]
-        alive = ray_ref[6:7, :] > 0.5
-        a_quad = dx * dx + dy * dy + dz * dz          # (1, RT), |d|^2
-        # slab-test reciprocals; IEEE inf is fine except 0*inf at lo==o,
-        # so substitute a huge finite value for axis-parallel rays
-        invdx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
-        invdy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
-        invdz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
 
-        bt_ref[0:1, :] = jnp.full((1, RT), jnp.inf, jnp.float32)
-        bi_ref[0:1, :] = jnp.full((1, RT), BIG_ID, jnp.int32)
+        def one_tile(L: int):
+            """Full traversal for the cull tile at static lane offset L."""
+            lanes = slice(L, L + RT)
+            # ray_ref: (8, step_tiles*RT) rows [ox oy oz dx dy dz alive ·]
+            ox, oy, oz = (ray_ref[0:1, lanes], ray_ref[1:2, lanes],
+                          ray_ref[2:3, lanes])
+            dx, dy, dz = (ray_ref[3:4, lanes], ray_ref[4:5, lanes],
+                          ray_ref[5:6, lanes])
+            alive = ray_ref[6:7, lanes] > 0.5
+            a_quad = dx * dx + dy * dy + dz * dz      # (1, RT), |d|^2
+            # slab-test reciprocals; IEEE inf is fine except 0*inf at lo==o,
+            # so substitute a huge finite value for axis-parallel rays
+            invdx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
+            invdy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
+            invdz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
 
-        def sphere_chunk(k, carry):
-            s = k * tt_s
-            cx = sph_ref[pl.ds(s, tt_s), 0:1]           # (tt, 1)
-            cy = sph_ref[pl.ds(s, tt_s), 1:2]
-            cz = sph_ref[pl.ds(s, tt_s), 2:3]
-            r2 = sph_ref[pl.ds(s, tt_s), 3:4]
-            vld = sph_ref[pl.ds(s, tt_s), 4:5]
-            # quadratic: near root only (wgsl:106-123)
-            ocx, ocy, ocz = ox - cx, oy - cy, oz - cz  # (tt, RT)
-            b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
-            c = ocx * ocx + ocy * ocy + ocz * ocz - r2
-            disc = b * b - 4.0 * a_quad * c
-            t = (-b - jnp.sqrt(jnp.maximum(disc, 0.0))) / (2.0 * a_quad)
-            valid = (disc >= 0.0) & (t >= t_min) & (vld > 0.5) & alive
-            ids = (jax.lax.broadcasted_iota(jnp.int32, (tt_s, RT), 0)
-                   + jnp.int32(s))
-            _min_fold_refs(t, valid, ids, bt_ref, bi_ref)
-            return carry
+            bt_ref[0:1, :] = jnp.full((1, RT), jnp.inf, jnp.float32)
+            bi_ref[0:1, :] = jnp.full((1, RT), BIG_ID, jnp.int32)
 
-        def tri_rows(s, rows):
-            """Möller–Trumbore on ``rows`` triangles starting at row s."""
-            ax = tri_ref[pl.ds(s, rows), 0:1]
-            ay = tri_ref[pl.ds(s, rows), 1:2]
-            az = tri_ref[pl.ds(s, rows), 2:3]
-            e1x = tri_ref[pl.ds(s, rows), 3:4]
-            e1y = tri_ref[pl.ds(s, rows), 4:5]
-            e1z = tri_ref[pl.ds(s, rows), 5:6]
-            e2x = tri_ref[pl.ds(s, rows), 6:7]
-            e2y = tri_ref[pl.ds(s, rows), 7:8]
-            e2z = tri_ref[pl.ds(s, rows), 8:9]
-            nx = tri_ref[pl.ds(s, rows), 9:10]
-            ny = tri_ref[pl.ds(s, rows), 10:11]
-            nz = tri_ref[pl.ds(s, rows), 11:12]
-            # cross/determinant form (wgsl:125-147)
-            aox, aoy, aoz = ox - ax, oy - ay, oz - az          # (rows, RT)
-            det = -(dx * nx + dy * ny + dz * nz)
-            t_num = aox * nx + aoy * ny + aoz * nz
-            daox = aoy * dz - aoz * dy                         # ao × d
-            daoy = aoz * dx - aox * dz
-            daoz = aox * dy - aoy * dx
-            u_num = e2x * daox + e2y * daoy + e2z * daoz
-            v_num = -(e1x * daox + e1y * daoy + e1z * daoz)
-            inv = 1.0 / det
-            t = t_num * inv
-            u = u_num * inv
-            v = v_num * inv
-            valid = ((det >= TRI_DET_EPS) & (t >= t_min)
-                     & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & alive)
-            ids = (jax.lax.broadcasted_iota(jnp.int32, (rows, RT), 0)
-                   + (jnp.int32(SP) + s))
-            _min_fold_refs(t, valid, ids, bt_ref, bi_ref)
-
-        def tri_block(s):
-            """MT on a whole cluster, in TRI_ROWS-row sub-blocks: a
-            (csize,RT) op is csize·RT/1024 vregs and MT keeps ~25-30
-            temporaries live, far beyond the VPU register file — smaller
-            sub-blocks keep live ranges register-resident (spill
-            suspect 2.5 in docs/PERF_NOTES.md). Static Python loop →
-            fully unrolled, no scalar-loop overhead."""
-            for r0 in range(0, csize, TRI_ROWS):
-                tri_rows(s + r0, TRI_ROWS)
-
-        def cluster_prepass():
-            """Vectorized slab test of ALL cluster AABBs at once → per-
-            cluster enter flags, the span [first, last] of entering
-            clusters, and the NEAREST entering cluster c0.
-
-            One (C, RT) batch — no per-cluster scalar loads or branches,
-            which otherwise cost as much as the culled triangle math. The
-            span relies on Morton order making entering clusters (a compact
-            tile frustum × a space-filling curve) contiguous.
-            """
-            C = clu_ref.shape[0]
-            lox, loy, loz = clu_ref[:, 0:1], clu_ref[:, 1:2], clu_ref[:, 2:3]
-            hix, hiy, hiz = clu_ref[:, 3:4], clu_ref[:, 4:5], clu_ref[:, 5:6]
-            t1x, t2x = (lox - ox) * invdx, (hix - ox) * invdx  # (C, RT)
-            t1y, t2y = (loy - oy) * invdy, (hiy - oy) * invdy
-            t1z, t2z = (loz - oz) * invdz, (hiz - oz) * invdz
-            tn = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
-                                         jnp.minimum(t1y, t2y)),
-                             jnp.maximum(jnp.minimum(t1z, t2z), t_min))
-            tf = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
-                                         jnp.maximum(t1y, t2y)),
-                             jnp.maximum(t1z, t2z))
-            # initial tightening: spheres already folded into best_t
-            enter = (tf >= tn) & alive & (tn < bt_ref[0:1, :])
-            flag = jnp.max(jnp.where(enter, 1, 0), axis=1, keepdims=True)
-            flag_ref[:, :] = jnp.broadcast_to(flag, flag_ref.shape)
-            cidx = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
-            first = jnp.min(jnp.where(flag > 0, cidx, C))
-            last = jnp.max(jnp.where(flag > 0, cidx, -1))
-            # nearest entering cluster = argmin of the tile-min entry
-            # distance; the traversal spirals outward from it
-            tn_tile = jnp.min(jnp.where(enter, tn, jnp.inf), axis=1,
-                              keepdims=True)                     # (C, 1)
-            c0 = jnp.min(jnp.where(tn_tile <= jnp.min(tn_tile), cidx, C))
-            return first, last, jnp.minimum(c0, last)
-
-        def make_order_body(first, last, c0):
-            def order_body(k, carry):
-                # center-out visit order c0, c0+1, c0-1, c0+2, … — a
-                # near-to-far proxy (Morton neighbors are spatial
-                # neighbors), so early hits tighten best_t before far
-                # clusters are re-tested, and the re-test culls them:
-                # BVH-style early-out on a flat cluster array
-                off = (k + 1) // 2
-                c = c0 + jnp.where(k % 2 == 1, off, -off)
-
-                @pl.when((c >= first) & (c <= last) & (flag_ref[c, 0] > 0))
-                def _():
-                    # re-test this cluster against the CURRENT best before
-                    # paying for its csize×RT Möller–Trumbore tile
-                    lox, loy, loz = (clu_ref[c, 0], clu_ref[c, 1],
-                                     clu_ref[c, 2])
-                    hix, hiy, hiz = (clu_ref[c, 3], clu_ref[c, 4],
-                                     clu_ref[c, 5])
-                    t1x, t2x = (lox - ox) * invdx, (hix - ox) * invdx
-                    t1y, t2y = (loy - oy) * invdy, (hiy - oy) * invdy
-                    t1z, t2z = (loz - oz) * invdz, (hiz - oz) * invdz
-                    tn = jnp.maximum(
-                        jnp.maximum(jnp.minimum(t1x, t2x),
-                                    jnp.minimum(t1y, t2y)),
-                        jnp.maximum(jnp.minimum(t1z, t2z), t_min))
-                    tf = jnp.minimum(
-                        jnp.minimum(jnp.maximum(t1x, t2x),
-                                    jnp.maximum(t1y, t2y)),
-                        jnp.maximum(t1z, t2z))
-                    enter = (tf >= tn) & alive & (tn < bt_ref[0:1, :])
-
-                    @pl.when(jnp.any(enter))
-                    def _():
-                        tri_block(c * csize)
-                return carry
-            return order_body
-
-        def span_body(c, carry):
-            # per-cluster flag read (one scalar) skips Morton-span slack
-            @pl.when(flag_ref[c, 0] > 0)
-            def _():
-                tri_block(c * csize)
-            return carry
-
-        @pl.when(jnp.any(alive))
-        def _():
-            # fully-dead tiles (compacted wavefront tail) skip everything
-            jax.lax.fori_loop(0, n_sph_chunks, sphere_chunk, 0)
-            first, last, c0 = cluster_prepass()
-            if TRAVERSAL == "centerout":
-                n_steps = 2 * jnp.maximum(last - c0, c0 - first) + 1
-                jax.lax.fori_loop(0, n_steps,
-                                  make_order_body(first, last, c0), 0)
-            else:  # "span": ascending flag-gated sweep, no re-test
-                jax.lax.fori_loop(first, last + 1, span_body, 0)
-
-        if want_attrs:
-            # ---- winner-attribute extraction (one-hot masked sums) ------
-            # Replaces the XLA winner-gather outside the kernel (per-
-            # element gather cost on TPU dwarfs the VPU math). Only chunks
-            # containing a winning id run; coherent tiles touch few.
-            best_id_v = bi_ref[0:1, :]
-            best_t_v = jnp.where(jnp.isinf(bt_ref[0:1, :]), 0.0,
-                                 bt_ref[0:1, :])
-            pxw = ox + best_t_v * dx          # winner hit point (1, RT)
-            pyw = oy + best_t_v * dy
-            pzw = oz + best_t_v * dz
-            acc_ref[:, :] = jnp.zeros((16, RT), jnp.float32)
-
-            def sph_extract(k, carry):
-                sbase = k * tt_s
+            def sphere_chunk(k, carry):
+                s = k * tt_s
+                cx = sph_ref[pl.ds(s, tt_s), 0:1]           # (tt, 1)
+                cy = sph_ref[pl.ds(s, tt_s), 1:2]
+                cz = sph_ref[pl.ds(s, tt_s), 2:3]
+                r2 = sph_ref[pl.ds(s, tt_s), 3:4]
+                vld = sph_ref[pl.ds(s, tt_s), 4:5]
+                # quadratic: near root only (wgsl:106-123)
+                ocx, ocy, ocz = ox - cx, oy - cy, oz - cz  # (tt, RT)
+                b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+                c = ocx * ocx + ocy * ocy + ocz * ocz - r2
+                disc = b * b - 4.0 * a_quad * c
+                t = (-b - jnp.sqrt(jnp.maximum(disc, 0.0))) / (2.0 * a_quad)
+                valid = (disc >= 0.0) & (t >= t_min) & (vld > 0.5) & alive
                 ids = (jax.lax.broadcasted_iota(jnp.int32, (tt_s, RT), 0)
-                       + jnp.int32(sbase))
-                m = (ids == best_id_v).astype(jnp.float32)   # (tt, RT)
-                cx = sph_ref[pl.ds(sbase, tt_s), 0:1]
-                cy = sph_ref[pl.ds(sbase, tt_s), 1:2]
-                cz = sph_ref[pl.ds(sbase, tt_s), 2:3]
-                r2 = sph_ref[pl.ds(sbase, tt_s), 3:4]
-                inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-20))
-                # outward normal (p − c)/r (wgsl:117)
-                ok = m > 0
-                acc_ref[0:1, :] += jnp.sum(
-                    jnp.where(ok, (pxw - cx) * inv_r, 0.0), 0, keepdims=True)
-                acc_ref[1:2, :] += jnp.sum(
-                    jnp.where(ok, (pyw - cy) * inv_r, 0.0), 0, keepdims=True)
-                acc_ref[2:3, :] += jnp.sum(
-                    jnp.where(ok, (pzw - cz) * inv_r, 0.0), 0, keepdims=True)
-                for row, col in ((3, 5), (4, 6), (5, 7),    # albedo
-                                 (6, 8), (7, 9), (8, 10),   # emission
-                                 (9, 11), (10, 12)):        # es, smooth
-                    acc_ref[row:row + 1, :] += jnp.sum(
-                        jnp.where(ok, sph_ref[pl.ds(sbase, tt_s),
-                                              col:col + 1], 0.0),
-                        0, keepdims=True)
+                       + jnp.int32(s))
+                _min_fold_refs(t, valid, ids, bt_ref, bi_ref)
                 return carry
 
-            def tri_extract(c, carry):
-                lo_id = jnp.int32(SP) + c * csize
-                in_chunk = (best_id_v >= lo_id) & (best_id_v < lo_id + csize)
+            def tri_rows(s, rows):
+                """Möller–Trumbore on ``rows`` triangles starting at row s."""
+                ax = tri_ref[pl.ds(s, rows), 0:1]
+                ay = tri_ref[pl.ds(s, rows), 1:2]
+                az = tri_ref[pl.ds(s, rows), 2:3]
+                e1x = tri_ref[pl.ds(s, rows), 3:4]
+                e1y = tri_ref[pl.ds(s, rows), 4:5]
+                e1z = tri_ref[pl.ds(s, rows), 5:6]
+                e2x = tri_ref[pl.ds(s, rows), 6:7]
+                e2y = tri_ref[pl.ds(s, rows), 7:8]
+                e2z = tri_ref[pl.ds(s, rows), 8:9]
+                nx = tri_ref[pl.ds(s, rows), 9:10]
+                ny = tri_ref[pl.ds(s, rows), 10:11]
+                nz = tri_ref[pl.ds(s, rows), 11:12]
+                # cross/determinant form (wgsl:125-147)
+                aox, aoy, aoz = ox - ax, oy - ay, oz - az      # (rows, RT)
+                det = -(dx * nx + dy * ny + dz * nz)
+                t_num = aox * nx + aoy * ny + aoz * nz
+                daox = aoy * dz - aoz * dy                     # ao × d
+                daoy = aoz * dx - aox * dz
+                daoz = aox * dy - aoy * dx
+                u_num = e2x * daox + e2y * daoy + e2z * daoz
+                v_num = -(e1x * daox + e1y * daoy + e1z * daoz)
+                inv = 1.0 / det
+                t = t_num * inv
+                u = u_num * inv
+                v = v_num * inv
+                valid = ((det >= TRI_DET_EPS) & (t >= t_min)
+                         & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & alive)
+                ids = (jax.lax.broadcasted_iota(jnp.int32, (rows, RT), 0)
+                       + (jnp.int32(SP) + s))
+                _min_fold_refs(t, valid, ids, bt_ref, bi_ref)
 
-                @pl.when(jnp.any(in_chunk))
+            def tri_block(s):
+                """MT on a whole cluster, in tri_rows-row sub-blocks: a
+                (csize,RT) op is csize·RT/1024 vregs and MT keeps ~25-30
+                temporaries live, far beyond the VPU register file — smaller
+                sub-blocks keep live ranges register-resident (spill
+                suspect 2.5 in docs/PERF_NOTES.md). Static Python loop →
+                fully unrolled, no scalar-loop overhead."""
+                for r0 in range(0, csize, tri_sub):
+                    tri_rows(s + r0, tri_sub)
+
+            def cluster_prepass():
+                """Vectorized slab test of ALL cluster AABBs at once → per-
+                cluster enter flags, the span [first, last] of entering
+                clusters, and the NEAREST entering cluster c0.
+
+                One (C, RT) batch — no per-cluster scalar loads or branches,
+                which otherwise cost as much as the culled triangle math.
+                The span relies on Morton order making entering clusters (a
+                compact tile frustum × a space-filling curve) contiguous.
+                """
+                C = clu_ref.shape[0]
+                lox, loy, loz = (clu_ref[:, 0:1], clu_ref[:, 1:2],
+                                 clu_ref[:, 2:3])
+                hix, hiy, hiz = (clu_ref[:, 3:4], clu_ref[:, 4:5],
+                                 clu_ref[:, 5:6])
+                t1x, t2x = (lox - ox) * invdx, (hix - ox) * invdx  # (C, RT)
+                t1y, t2y = (loy - oy) * invdy, (hiy - oy) * invdy
+                t1z, t2z = (loz - oz) * invdz, (hiz - oz) * invdz
+                tn = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                             jnp.minimum(t1y, t2y)),
+                                 jnp.maximum(jnp.minimum(t1z, t2z), t_min))
+                tf = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                             jnp.maximum(t1y, t2y)),
+                                 jnp.maximum(t1z, t2z))
+                # initial tightening: spheres already folded into best_t
+                enter = (tf >= tn) & alive & (tn < bt_ref[0:1, :])
+                flag = jnp.max(jnp.where(enter, 1, 0), axis=1, keepdims=True)
+                flag_ref[:, :] = jnp.broadcast_to(flag, flag_ref.shape)
+                cidx = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+                first = jnp.min(jnp.where(flag > 0, cidx, C))
+                last = jnp.max(jnp.where(flag > 0, cidx, -1))
+                # nearest entering cluster = argmin of the tile-min entry
+                # distance; the traversal spirals outward from it
+                tn_tile = jnp.min(jnp.where(enter, tn, jnp.inf), axis=1,
+                                  keepdims=True)                 # (C, 1)
+                c0 = jnp.min(jnp.where(tn_tile <= jnp.min(tn_tile), cidx, C))
+                return first, last, jnp.minimum(c0, last)
+
+            def make_order_body(first, last, c0):
+                def order_body(k, carry):
+                    # center-out visit order c0, c0+1, c0-1, c0+2, … — a
+                    # near-to-far proxy (Morton neighbors are spatial
+                    # neighbors), so early hits tighten best_t before far
+                    # clusters are re-tested, and the re-test culls them:
+                    # BVH-style early-out on a flat cluster array
+                    off = (k + 1) // 2
+                    c = c0 + jnp.where(k % 2 == 1, off, -off)
+
+                    @pl.when((c >= first) & (c <= last)
+                             & (flag_ref[c, 0] > 0))
+                    def _():
+                        # re-test this cluster against the CURRENT best
+                        # before paying for its csize×RT MT tile
+                        lox, loy, loz = (clu_ref[c, 0], clu_ref[c, 1],
+                                         clu_ref[c, 2])
+                        hix, hiy, hiz = (clu_ref[c, 3], clu_ref[c, 4],
+                                         clu_ref[c, 5])
+                        t1x, t2x = (lox - ox) * invdx, (hix - ox) * invdx
+                        t1y, t2y = (loy - oy) * invdy, (hiy - oy) * invdy
+                        t1z, t2z = (loz - oz) * invdz, (hiz - oz) * invdz
+                        tn = jnp.maximum(
+                            jnp.maximum(jnp.minimum(t1x, t2x),
+                                        jnp.minimum(t1y, t2y)),
+                            jnp.maximum(jnp.minimum(t1z, t2z), t_min))
+                        tf = jnp.minimum(
+                            jnp.minimum(jnp.maximum(t1x, t2x),
+                                        jnp.maximum(t1y, t2y)),
+                            jnp.maximum(t1z, t2z))
+                        enter = (tf >= tn) & alive & (tn < bt_ref[0:1, :])
+
+                        @pl.when(jnp.any(enter))
+                        def _():
+                            tri_block(c * csize)
+                    return carry
+                return order_body
+
+            def span_body(c, carry):
+                # per-cluster flag read (one scalar) skips Morton-span slack
+                @pl.when(flag_ref[c, 0] > 0)
                 def _():
-                    sbase = c * csize
-                    sl = pl.ds(sbase, csize)
-                    ax, ay, az = (tri_ref[sl, 0:1], tri_ref[sl, 1:2],
-                                  tri_ref[sl, 2:3])
-                    e1x, e1y, e1z = (tri_ref[sl, 3:4], tri_ref[sl, 4:5],
-                                     tri_ref[sl, 5:6])
-                    e2x, e2y, e2z = (tri_ref[sl, 6:7], tri_ref[sl, 7:8],
-                                     tri_ref[sl, 8:9])
-                    nx, ny, nz = (tri_ref[sl, 9:10], tri_ref[sl, 10:11],
-                                  tri_ref[sl, 11:12])
-                    aox, aoy, aoz = ox - ax, oy - ay, oz - az
-                    det = -(dx * nx + dy * ny + dz * nz)
-                    daox = aoy * dz - aoz * dy
-                    daoy = aoz * dx - aox * dz
-                    daoz = aox * dy - aoy * dx
-                    inv = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
-                    u = (e2x * daox + e2y * daoy + e2z * daoz) * inv
-                    v = -(e1x * daox + e1y * daoy + e1z * daoz) * inv
-                    w = 1.0 - u - v
-                    ids = (jax.lax.broadcasted_iota(
-                        jnp.int32, (csize, RT), 0) + lo_id)
-                    m = (ids == best_id_v).astype(jnp.float32)
-                    # barycentric-blended vertex normals (wgsl:143);
-                    # normalization happens outside
-                    for row, (c0, c1, c2) in enumerate(
-                            ((12, 15, 18), (13, 16, 19), (14, 17, 20))):
-                        blend = (w * tri_ref[sl, c0:c0 + 1]
-                                 + u * tri_ref[sl, c1:c1 + 1]
-                                 + v * tri_ref[sl, c2:c2 + 1])
-                        # where (not m*blend): non-winning rows can hold
-                        # inf barycentrics (det≈0) and 0*inf = NaN
-                        acc_ref[row:row + 1, :] += jnp.sum(
-                            jnp.where(m > 0, blend, 0.0), 0, keepdims=True)
-                    for row, col in ((3, 21), (4, 22), (5, 23),   # albedo
-                                     (6, 24), (7, 25), (8, 26),   # emission
-                                     (9, 27), (10, 28)):          # es, smooth
-                        acc_ref[row:row + 1, :] += jnp.sum(
-                            jnp.where(m > 0, tri_ref[sl, col:col + 1], 0.0),
-                            0, keepdims=True)
+                    tri_block(c * csize)
+                return carry
+
+            def nocull_body(c, carry):
+                tri_block(c * csize)
                 return carry
 
             @pl.when(jnp.any(alive))
             def _():
-                jax.lax.fori_loop(0, n_sph_chunks, sph_extract, 0)
-                # restrict the chunk sweep to the winners' id range
-                is_tw = (best_id_v >= SP) & (best_id_v < SP + TP)
-                c_lo = (jnp.min(jnp.where(is_tw, best_id_v, SP + TP))
-                        - SP) // csize
-                c_hi = (jnp.max(jnp.where(is_tw, best_id_v, SP))
-                        - SP) // csize
-                jax.lax.fori_loop(c_lo, c_hi + 1, tri_extract, 0)
+                # fully-dead tiles (compacted wavefront tail) skip everything
+                jax.lax.fori_loop(0, n_sph_chunks, sphere_chunk, 0)
+                if cfg.traversal == "nocull":
+                    jax.lax.fori_loop(0, TP // csize, nocull_body, 0)
+                    return
+                first, last, c0 = cluster_prepass()
+                if cfg.traversal == "centerout":
+                    n_steps = 2 * jnp.maximum(last - c0, c0 - first) + 1
+                    jax.lax.fori_loop(0, n_steps,
+                                      make_order_body(first, last, c0), 0)
+                elif cfg.traversal == "prepassonly":
+                    pass    # ablation: no MT at all (results are wrong)
+                else:  # "span": ascending flag-gated sweep, no re-test
+                    jax.lax.fori_loop(first, last + 1, span_body, 0)
 
-            attr_out[:, :] = acc_ref[:, :]
+            if want_attrs:
+                # ---- winner-attribute extraction (one-hot masked sums) ---
+                # Replaces the XLA winner-gather outside the kernel (per-
+                # element gather cost on TPU dwarfs the VPU math). Only
+                # chunks containing a winning id run; coherent tiles touch
+                # few.
+                best_id_v = bi_ref[0:1, :]
+                best_t_v = jnp.where(jnp.isinf(bt_ref[0:1, :]), 0.0,
+                                     bt_ref[0:1, :])
+                pxw = ox + best_t_v * dx      # winner hit point (1, RT)
+                pyw = oy + best_t_v * dy
+                pzw = oz + best_t_v * dz
+                acc_ref[:, :] = jnp.zeros((16, RT), jnp.float32)
 
-        # output blocks are (8, RT) — sublane dim must be ≥8 on TPU — so
-        # broadcast the (1, RT) result across the rows; caller reads row 0.
-        best_t, best_id = bt_ref[0:1, :], bi_ref[0:1, :]
-        t_out[:, :] = jnp.broadcast_to(best_t, (8, RT))
-        id_out[:, :] = jnp.broadcast_to(
-            jnp.where(best_id == BIG_ID, jnp.int32(0), best_id), (8, RT))
+                def sph_extract(k, carry):
+                    sbase = k * tt_s
+                    ids = (jax.lax.broadcasted_iota(
+                        jnp.int32, (tt_s, RT), 0) + jnp.int32(sbase))
+                    m = (ids == best_id_v).astype(jnp.float32)   # (tt, RT)
+                    cx = sph_ref[pl.ds(sbase, tt_s), 0:1]
+                    cy = sph_ref[pl.ds(sbase, tt_s), 1:2]
+                    cz = sph_ref[pl.ds(sbase, tt_s), 2:3]
+                    r2 = sph_ref[pl.ds(sbase, tt_s), 3:4]
+                    inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-20))
+                    # outward normal (p − c)/r (wgsl:117)
+                    ok = m > 0
+                    acc_ref[0:1, :] += jnp.sum(
+                        jnp.where(ok, (pxw - cx) * inv_r, 0.0), 0,
+                        keepdims=True)
+                    acc_ref[1:2, :] += jnp.sum(
+                        jnp.where(ok, (pyw - cy) * inv_r, 0.0), 0,
+                        keepdims=True)
+                    acc_ref[2:3, :] += jnp.sum(
+                        jnp.where(ok, (pzw - cz) * inv_r, 0.0), 0,
+                        keepdims=True)
+                    for row, col in ((3, 5), (4, 6), (5, 7),    # albedo
+                                     (6, 8), (7, 9), (8, 10),   # emission
+                                     (9, 11), (10, 12)):        # es, smooth
+                        acc_ref[row:row + 1, :] += jnp.sum(
+                            jnp.where(ok, sph_ref[pl.ds(sbase, tt_s),
+                                                  col:col + 1], 0.0),
+                            0, keepdims=True)
+                    return carry
+
+                def tri_extract(c, carry):
+                    lo_id = jnp.int32(SP) + c * csize
+                    in_chunk = ((best_id_v >= lo_id)
+                                & (best_id_v < lo_id + csize))
+
+                    @pl.when(jnp.any(in_chunk))
+                    def _():
+                        sbase = c * csize
+                        sl = pl.ds(sbase, csize)
+                        ax, ay, az = (tri_ref[sl, 0:1], tri_ref[sl, 1:2],
+                                      tri_ref[sl, 2:3])
+                        e1x, e1y, e1z = (tri_ref[sl, 3:4], tri_ref[sl, 4:5],
+                                         tri_ref[sl, 5:6])
+                        e2x, e2y, e2z = (tri_ref[sl, 6:7], tri_ref[sl, 7:8],
+                                         tri_ref[sl, 8:9])
+                        nx, ny, nz = (tri_ref[sl, 9:10], tri_ref[sl, 10:11],
+                                      tri_ref[sl, 11:12])
+                        aox, aoy, aoz = ox - ax, oy - ay, oz - az
+                        det = -(dx * nx + dy * ny + dz * nz)
+                        daox = aoy * dz - aoz * dy
+                        daoy = aoz * dx - aox * dz
+                        daoz = aox * dy - aoy * dx
+                        inv = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30,
+                                              det)
+                        u = (e2x * daox + e2y * daoy + e2z * daoz) * inv
+                        v = -(e1x * daox + e1y * daoy + e1z * daoz) * inv
+                        w = 1.0 - u - v
+                        ids = (jax.lax.broadcasted_iota(
+                            jnp.int32, (csize, RT), 0) + lo_id)
+                        m = (ids == best_id_v).astype(jnp.float32)
+                        # barycentric-blended vertex normals (wgsl:143);
+                        # normalization happens outside
+                        for row, (c0, c1, c2) in enumerate(
+                                ((12, 15, 18), (13, 16, 19), (14, 17, 20))):
+                            blend = (w * tri_ref[sl, c0:c0 + 1]
+                                     + u * tri_ref[sl, c1:c1 + 1]
+                                     + v * tri_ref[sl, c2:c2 + 1])
+                            # where (not m*blend): non-winning rows can hold
+                            # inf barycentrics (det≈0) and 0*inf = NaN
+                            acc_ref[row:row + 1, :] += jnp.sum(
+                                jnp.where(m > 0, blend, 0.0), 0,
+                                keepdims=True)
+                        for row, col in ((3, 21), (4, 22), (5, 23),
+                                         (6, 24), (7, 25), (8, 26),
+                                         (9, 27), (10, 28)):
+                            acc_ref[row:row + 1, :] += jnp.sum(
+                                jnp.where(m > 0, tri_ref[sl, col:col + 1],
+                                          0.0),
+                                0, keepdims=True)
+                    return carry
+
+                @pl.when(jnp.any(alive))
+                def _():
+                    jax.lax.fori_loop(0, n_sph_chunks, sph_extract, 0)
+                    # restrict the chunk sweep to the winners' id range
+                    is_tw = (best_id_v >= SP) & (best_id_v < SP + TP)
+                    c_lo = (jnp.min(jnp.where(is_tw, best_id_v, SP + TP))
+                            - SP) // csize
+                    c_hi = (jnp.max(jnp.where(is_tw, best_id_v, SP))
+                            - SP) // csize
+                    jax.lax.fori_loop(c_lo, c_hi + 1, tri_extract, 0)
+
+                attr_out[:, lanes] = acc_ref[:, :]
+
+            # output blocks are (8, ·) — sublane dim must be ≥8 on TPU — so
+            # broadcast the (1, RT) result across the rows; caller reads
+            # row 0.
+            best_t, best_id = bt_ref[0:1, :], bi_ref[0:1, :]
+            t_out[:, lanes] = jnp.broadcast_to(best_t, (8, RT))
+            id_out[:, lanes] = jnp.broadcast_to(
+                jnp.where(best_id == BIG_ID, jnp.int32(0), best_id),
+                (8, RT))
+
+        # static unroll over the cull tiles in this grid step (static lane
+        # offsets keep every slice vreg-aligned)
+        for s in range(cfg.step_tiles):
+            one_tile(s * RT)
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("t_min", "want_attrs",
-                                             "interpret"))
+                                             "interpret", "cfg"))
 def _nearest_hit_call(scene: Scene, o, d, t_min, alive, want_attrs,
-                      interpret):
+                      interpret, cfg: KConfig):
     R = o.shape[0]
     SP, TP = scene.padded_spheres, scene.padded_tris
     tt_s = min(SPH_TT, SP)
-    csize = CLUSTER if TP % CLUSTER == 0 else 128
+    if TP % cfg.cluster != 0:
+        cfg = cfg._replace(cluster=128)
+    csize, RT = cfg.cluster, cfg.rt
 
-    n_tiles = -(-R // RT)
-    Rp = n_tiles * RT
+    step = RT * cfg.step_tiles
+    n_steps = -(-R // step)
+    Rp = n_steps * step
     if alive is None:
         alive_f = jnp.ones((R,), jnp.float32)
     else:
@@ -456,10 +525,10 @@ def _nearest_hit_call(scene: Scene, o, d, t_min, alive, want_attrs,
     tri = _pack_tris(scene)                                      # (TP, 32)
     clu = _cluster_aabbs(scene, csize)                           # (C, 8)
 
-    kernel = _make_kernel(SP, TP, float(t_min), tt_s, csize, want_attrs)
+    kernel = _make_kernel(SP, TP, float(t_min), tt_s, want_attrs, cfg)
     out_specs = [
-        pl.BlockSpec((8, RT), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, RT), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, step), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, step), lambda i: (0, i), memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((8, Rp), jnp.float32),
@@ -473,18 +542,21 @@ def _nearest_hit_call(scene: Scene, o, d, t_min, alive, want_attrs,
         # flag_ref[c, 0] read aligned for any RT)
     ]
     if want_attrs:
-        out_specs.append(pl.BlockSpec((16, RT), lambda i: (0, i),
+        out_specs.append(pl.BlockSpec((16, step), lambda i: (0, i),
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((16, Rp), jnp.float32))
         scratch.append(pltpu.VMEM((16, RT), jnp.float32))  # attr accum
 
     outs = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((8, RT), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SP, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TP, 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, step), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SP, 16), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TP, 32), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((TP // csize, 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -513,20 +585,22 @@ def _auto_interpret(interpret):
 
 
 def nearest_hit_pallas(scene: Scene, o, d, t_min=1e-4, alive=None,
-                       interpret=False):
+                       interpret=False, cfg: KConfig | None = None):
     """Closest hit for (R, 3) rays → (t (R,), prim_id (R,) int32).
 
     Drop-in replacement for ops.intersect.nearest_hit_jnp (same id
-    convention); R is padded to a multiple of RT internally. ``alive``
-    ((R,) bool, optional) marks live wavefront lanes — dead lanes return
-    miss and cost (nearly) nothing once sorted into whole-dead tiles.
+    convention); R is padded to a multiple of the grid step internally.
+    ``alive`` ((R,) bool, optional) marks live wavefront lanes — dead lanes
+    return miss and cost (nearly) nothing once sorted into whole-dead
+    tiles. ``cfg`` overrides the RTT_* env knobs (see KConfig).
     """
     return _nearest_hit_call(scene, o, d, t_min, alive, False,
-                             _auto_interpret(interpret))
+                             _auto_interpret(interpret),
+                             cfg or env_config())
 
 
 def nearest_hit_attrs_pallas(scene: Scene, o, d, t_min=1e-4, alive=None,
-                             interpret=False):
+                             interpret=False, cfg: KConfig | None = None):
     """Closest hit PLUS winner shading attributes extracted in-kernel:
     returns (t (R,), prim_id (R,), attrs (R, 16)) with attr columns
     [normal(3, unnormalized blend) | albedo(3) | emission(3) |
@@ -535,4 +609,5 @@ def nearest_hit_attrs_pallas(scene: Scene, o, d, t_min=1e-4, alive=None,
     intersect.fused_intersect for the custom_vjp that keeps training
     differentiable."""
     return _nearest_hit_call(scene, o, d, t_min, alive, True,
-                             _auto_interpret(interpret))
+                             _auto_interpret(interpret),
+                             cfg or env_config())
