@@ -148,6 +148,7 @@ void* rtt_obj_load(const char* path) {
       vts.push_back(1.0f - v);  // flip to v-down convention (texture.py)
     } else if (q < line_end && q[0] == 'f') {
       face.clear();
+      bool face_bad = false;
       const char* r = q + 1;
       while (r < line_end) {
         r = skip_ws(r, line_end);
@@ -177,11 +178,16 @@ void* rtt_obj_load(const char* path) {
             }
           }
         }
+        // position index must be in range (normals/uvs are checked at
+        // insertion below); a malformed/truncated `f` line would otherwise
+        // read out of bounds — skip the whole face instead
+        if (c.v < 0 || static_cast<size_t>(3 * c.v + 2) >= vs.size())
+          face_bad = true;
         face.push_back(c);
       }
       // fan triangulation + (v, vt, vn) dedup — tobj's
       // triangulate+single_index semantics (resource.rs:60-63)
-      if (face.size() >= 3) {
+      if (face.size() >= 3 && !face_bad) {
         for (size_t k = 1; k + 1 < face.size(); ++k) {
           for (const Corner& c : {face[0], face[k], face[k + 1]}) {
             auto it = remap.find(c);

@@ -24,6 +24,13 @@ from . import Camera, RenderParams, Renderer, SceneBuilder, builtin_scene
 from .io import load_model, write_npy, write_png
 
 
+def _positive_int(s):
+    v = int(s)
+    if v < 1:
+        raise argparse.ArgumentTypeError("must be >= 1")
+    return v
+
+
 def _add_common(p):
     p.add_argument("--scene", default="balls",
                    help="builtin scene name or id (balls|random_balls|room|metal|0-3)")
@@ -200,8 +207,8 @@ def main(argv=None):
 
     p = sub.add_parser("render", help="render a scene to PNG/NPY")
     _add_common(p)
-    p.add_argument("--frames", type=int, default=1,
-                   help="progressive frames to accumulate")
+    p.add_argument("--frames", type=_positive_int, default=1,
+                   help="progressive frames to accumulate (>= 1)")
     p.add_argument("-o", "--output", default="out.png")
     p.add_argument("--checkpoint", default=None,
                    help="save accumulation state to this .npz when done")
@@ -223,7 +230,7 @@ def main(argv=None):
 
     p = sub.add_parser("benchmark", help="measure rays/s")
     _add_common(p)
-    p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--frames", type=_positive_int, default=8)
     p.set_defaults(fn=cmd_benchmark)
 
     p = sub.add_parser("info", help="print device info")

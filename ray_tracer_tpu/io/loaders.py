@@ -24,11 +24,14 @@ from __future__ import annotations
 import base64
 import dataclasses
 import json
+import logging
 import os
 import struct
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+logger = logging.getLogger("ray_tracer_tpu.io")
 
 
 @dataclasses.dataclass
@@ -164,6 +167,12 @@ def load_obj(path: str) -> List[MeshData]:
                         n = int(fields[2])
                         ni = n - 1 if n > 0 else len(normals) + n
                     corners.append((vi, ti, ni))
+                # skip malformed faces (out-of-range position index) like
+                # the native parser instead of crashing at gather time
+                if any(c[0] < 0 or c[0] >= len(positions) for c in corners):
+                    logger.warning("skipping malformed OBJ face in %s: %s",
+                                   path, line)
+                    continue
                 # fan triangulation (tobj `triangulate: true`)
                 for k in range(1, len(corners) - 1):
                     faces.append([corners[0], corners[k], corners[k + 1]])
@@ -287,14 +296,19 @@ def _load_gltf_image(gltf: dict, buffers: List[bytes], base_dir: str,
             return np.asarray(Image.open(_io.BytesIO(raw)).convert("RGB"))
         return np.asarray(
             Image.open(os.path.join(base_dir, uri)).convert("RGB"))
-    except Exception:
+    except Exception as e:
+        logger.warning("failed to decode glTF image %d (%s); "
+                       "rendering untextured", image_idx, e)
         return None
 
 
 def _gltf_material(gltf: dict, buffers: List[bytes], base_dir: str,
-                   mat_idx: Optional[int]) -> Optional[dict]:
+                   mat_idx: Optional[int],
+                   img_cache: Optional[dict] = None) -> Optional[dict]:
     if mat_idx is None:
         return None
+    if img_cache is None:
+        img_cache = {}
     mat = gltf.get("materials", [])[mat_idx]
     out: dict = {}
     pbr = mat.get("pbrMetallicRoughness", {})
@@ -304,7 +318,13 @@ def _gltf_material(gltf: dict, buffers: List[bytes], base_dir: str,
         tex = gltf.get("textures", [])[tex_ref["index"]]
         if "source" not in tex:
             return None
-        return _load_gltf_image(gltf, buffers, base_dir, tex["source"])
+        # decode each glTF image ONCE per file (keyed by image index);
+        # primitives sharing a texture then share the ndarray, and
+        # load_model's id()-keyed register cache dedups the device copy
+        src = tex["source"]
+        if src not in img_cache:
+            img_cache[src] = _load_gltf_image(gltf, buffers, base_dir, src)
+        return img_cache[src]
     if "baseColorTexture" in pbr:
         out["diffuse_image"] = tex_image(pbr["baseColorTexture"])
     if "normalTexture" in mat:
@@ -316,6 +336,7 @@ def _primitives_to_meshes(gltf: dict, buffers: List[bytes],
                           mesh_indices: Sequence[int],
                           base_dir: str = "") -> List[MeshData]:
     out = []
+    img_cache: dict = {}
     for mi in mesh_indices:
         mesh = gltf["meshes"][mi]
         mesh_name = mesh.get("name", f"mesh{mi}")
@@ -340,7 +361,7 @@ def _primitives_to_meshes(gltf: dict, buffers: List[bytes],
             if nrm is None:
                 nrm = _smooth_normals(pos, idx)
             material = _gltf_material(gltf, buffers, base_dir,
-                                      prim.get("material"))
+                                      prim.get("material"), img_cache)
             out.append(MeshData(f"{mesh_name}/{pi}", pos, nrm, idx,
                                 uvs=uv, material=material))
     return out

@@ -17,7 +17,12 @@ NEE reduces variance without changing the converged image. With
 Double-count suppression: when a bounce performed NEE, emission found by
 the NEXT BSDF segment is not counted again (dielectric lanes can't NEE, so
 their specular paths still pick up emission). Light table is a fixed-size
-(MAX_LIGHTS) pytree selected by emitted power — fully static shapes.
+(MAX_LIGHTS) pytree selected by emitted power — fully static shapes. In
+scenes with more than MAX_LIGHTS emitters, the overflow emitters are never
+NEE-sampled, so the renderer suppresses only emitters present in the table
+(``entry_valid`` + prim-id match in renderer.bounce) — light from the
+overflow ones still arrives via BSDF sampling and the converged image is
+unchanged.
 """
 
 from __future__ import annotations
@@ -45,6 +50,7 @@ class LightTable:
     prim_id: jax.Array    # (L,) global prim id (for self-hit exclusion)
     cdf: jax.Array        # (L,) normalized inclusive power CDF
     has_lights: jax.Array # () bool
+    entry_valid: jax.Array  # (L,) bool: entry is a real (power > 0) emitter
 
 
 def build_light_table(scene: Scene) -> LightTable:
@@ -76,7 +82,7 @@ def build_light_table(scene: Scene) -> LightTable:
     cdf = jnp.cumsum(top_power) / jnp.where(has, total, 1.0)
     return LightTable(kind=kind, index=index, emission=emit[top],
                       area=area[top], prim_id=top.astype(jnp.int32), cdf=cdf,
-                      has_lights=has)
+                      has_lights=has, entry_valid=top_power > 0.0)
 
 
 def sample_lights(lights: LightTable, scene: Scene, state, p):

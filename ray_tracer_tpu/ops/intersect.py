@@ -41,6 +41,8 @@ class Hit:
 
     t: jax.Array                  # (R,)
     hit: jax.Array                # (R,) bool
+    prim_id: jax.Array            # (R,) int32 winner id (detached; 0 on miss
+                                  # from the pallas path — gate on .hit)
     point: jax.Array              # (R, 3)
     normal: jax.Array             # (R, 3) unit, outward (never flipped —
                                   # matches wgsl sphere/tri normals)
@@ -231,7 +233,8 @@ def hit_attributes(scene: Scene, o, d, prim_id, miss, t_min):
 
     hit = jnp.logical_not(miss)
     return Hit(
-        t=t, hit=hit, point=point, normal=normal, albedo=albedo,
+        t=t, hit=hit, prim_id=jax.lax.stop_gradient(prim_id), point=point,
+        normal=normal, albedo=albedo,
         emission=emission, emission_strength=emission_strength,
         smoothness=smoothness,
     )
@@ -261,7 +264,8 @@ def _fused_forward(scene, o, d, t_min, alive):
     miss = jnp.isinf(best_t)
     t = jnp.where(miss, 0.0, best_t)
     hit = Hit(
-        t=t, hit=jnp.logical_not(miss), point=o_s + d_s * t[:, None],
+        t=t, hit=jnp.logical_not(miss), prim_id=prim_id,
+        point=o_s + d_s * t[:, None],
         normal=_safe_normalize(attrs[:, 0:3]), albedo=attrs[:, 3:6],
         emission=attrs[:, 6:9], emission_strength=attrs[:, 9],
         smoothness=attrs[:, 10])

@@ -190,8 +190,18 @@ def trace(scene: Scene, o, d, state, params: RenderParams):
         albedo = jnp.where(is_dielectric[:, None], 1.0, h.albedo)
 
         emitted = h.emission * h.emission_strength[:, None]
-        count_emission = (active_hit & emission_ok if params.nee
-                          else active_hit)
+        if params.nee:
+            # Suppression (emission_ok=False after an NEE attempt) only
+            # applies to emitters the light table can actually sample: the
+            # table holds the top MAX_LIGHTS emitters by power, and a scene
+            # with more would otherwise lose all light from the overflow
+            # emitters (never NEE-sampled, yet BSDF-suppressed).
+            in_table = jnp.any(
+                (h.prim_id[:, None] == light_table.prim_id[None, :])
+                & light_table.entry_valid[None, :], axis=1)
+            count_emission = active_hit & (emission_ok | ~in_table)
+        else:
+            count_emission = active_hit
         incoming = incoming + jnp.where(
             count_emission[:, None], emitted * throughput, 0.0)
 

@@ -8,10 +8,13 @@ the shared library hasn't been built (``make -C native``); callers check for
 from __future__ import annotations
 
 import ctypes
+import logging
 import os
 from typing import List, Optional
 
 import numpy as np
+
+logger = logging.getLogger("ray_tracer_tpu.native")
 
 _LIB_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -21,14 +24,23 @@ _load_failed = False
 
 
 def _try_build():
-    """One-shot best-effort `make -C native` when the library is absent
-    (the .so is a build artifact, not committed)."""
+    """`make -C native` when the library is absent (the .so is a build
+    artifact, not committed). Opt-in via RTT_AUTOBUILD=1 — an implicit
+    compile during scene build would surprise sandboxed/offline hosts; the
+    default is the pure-Python path."""
+    if os.environ.get("RTT_AUTOBUILD", "0") != "1":
+        logger.info(
+            "librtt_native.so not built; using pure-Python loaders "
+            "(run `make -C native` or set RTT_AUTOBUILD=1 to enable the "
+            "native ones)")
+        return
     import subprocess
+    logger.info("building librtt_native.so (RTT_AUTOBUILD=1) ...")
     try:
         subprocess.run(["make", "-C", os.path.dirname(_LIB_PATH)],
                        capture_output=True, timeout=120, check=False)
-    except Exception:
-        pass
+    except Exception as e:
+        logger.warning("native build failed: %s", e)
 
 
 def _get_lib():

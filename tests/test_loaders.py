@@ -3,6 +3,7 @@ SURVEY.md §2: triangle.obj=1, simple_cube.obj=2, cube2.obj=12,
 poly_sphere.obj=80, cube.obj=428, the_utah_teapot.glb=15704/2 meshes,
 simple_japanese_tree.glb=4844/11 meshes)."""
 
+import json
 import os
 
 import numpy as np
@@ -104,3 +105,89 @@ def test_obj_quad_triangulation(tmp_path):
     p.write_text("v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nf 1 2 3 4\n")
     meshes = load_meshes(str(p))
     assert meshes[0].num_triangles == 2
+
+
+def test_obj_malformed_face_skipped_python(tmp_path, monkeypatch):
+    """Out-of-range position indices skip the face (no crash) — pure-Python
+    parser (ADVICE r1: native parser OOB read; both paths now skip)."""
+    from ray_tracer_tpu.utils import native
+    monkeypatch.setattr(native, "parse_obj", lambda p: None)
+    p = tmp_path / "bad.obj"
+    p.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\n"
+                 "f 1 2 99\n"      # index 99: out of range
+                 "f 1 2 3\n")      # valid
+    meshes = load_meshes(str(p))
+    assert len(meshes) == 1 and meshes[0].num_triangles == 1
+
+
+def test_obj_malformed_face_skipped_native(tmp_path):
+    from ray_tracer_tpu.utils import native
+    if not native.available():
+        import pytest
+        pytest.skip("librtt_native.so not built")
+    p = tmp_path / "bad.obj"
+    p.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\n"
+                 "f 1 2 99\n"
+                 "f -100 2 3\n"    # relative index far out of range
+                 "f 1 2 3\n")
+    objs = native.parse_obj(str(p))
+    assert objs is not None
+    assert sum(o["indices"].size for o in objs) == 3  # only the valid face
+
+
+def test_gltf_shared_texture_decoded_once(tmp_path, monkeypatch):
+    """Two primitives sharing one glTF texture decode the image once and
+    register ONE device texture (ADVICE r1: per-primitive duplicates)."""
+    import base64
+    import io as _io
+
+    from PIL import Image
+
+    from ray_tracer_tpu.io import loaders
+
+    buf = _io.BytesIO()
+    Image.new("RGB", (2, 2), (255, 0, 0)).save(buf, format="PNG")
+    png_uri = "data:image/png;base64," + base64.b64encode(
+        buf.getvalue()).decode()
+
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    uv = np.array([[0, 0], [1, 0], [0, 1]], np.float32)
+    blob = pos.tobytes() + uv.tobytes()
+    buf_uri = ("data:application/octet-stream;base64,"
+               + base64.b64encode(blob).decode())
+    prim = {"attributes": {"POSITION": 0, "TEXCOORD_0": 1}, "material": 0}
+    gltf = {
+        "asset": {"version": "2.0"},
+        "scenes": [{"nodes": [0]}], "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [dict(prim), dict(prim)]}],
+        "materials": [{"pbrMetallicRoughness":
+                       {"baseColorTexture": {"index": 0}}}],
+        "textures": [{"source": 0}],
+        "images": [{"uri": png_uri}],
+        "buffers": [{"uri": buf_uri, "byteLength": len(blob)}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 36},
+            {"buffer": 0, "byteOffset": 36, "byteLength": 24}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 3,
+             "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5126, "count": 3,
+             "type": "VEC2"}],
+    }
+    p = tmp_path / "shared.gltf"
+    p.write_text(json.dumps(gltf))
+
+    calls = []
+    real = loaders._load_gltf_image
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(loaders, "_load_gltf_image", counting)
+    b = rt.SceneBuilder()
+    load_model(str(p), b, placement="origin")
+    assert len(calls) == 1          # decoded once, not per primitive
+    assert len(b.textures) == 1     # one device texture registered
+    scene = b.build()
+    assert scene.num_tris == 2

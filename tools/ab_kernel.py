@@ -1,0 +1,123 @@
+"""In-process A/B sweep of Pallas intersect-kernel configs on the chip.
+
+Times ONLY the intersect call (not shading/renderer) on the 1080p-teapot
+primary-ray workload under the on-device scan harness (REPS iterations per
+launch, one tiny pull as sync — see docs/PERF_NOTES.md on why single-launch
+timings lie through the relay).
+
+Usage: python tools/ab_kernel.py [reps] [config ...]
+  config grammar: "st4" (step_tiles=4), "rt256", "cl64" (cluster),
+  "tr32" (tri_rows), "span"/"centerout"/"nocull"/"prepassonly",
+  "attrs" (want_attrs path), joined by "+" e.g. "st8+attrs".
+  Default sweep: baseline, st4, st8, prepassonly, nocull, baseline+attrs.
+Writes progress to /tmp/ab_kernel.log.
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+import ray_tracer_tpu as rt
+from ray_tracer_tpu.io import load_model
+from ray_tracer_tpu.ops.pallas_intersect import (
+    KConfig, nearest_hit_pallas, nearest_hit_attrs_pallas)
+from ray_tracer_tpu.renderer import _blocked_order
+from ray_tracer_tpu import camera_basis, sampling
+from ray_tracer_tpu.camera import camera_rays
+
+REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+T0 = time.time()
+
+
+def log(*a):
+    msg = f"{time.time()-T0:7.1f} " + " ".join(map(str, a))
+    print(msg, flush=True)
+    with open("/tmp/ab_kernel.log", "a") as f:
+        f.write(msg + "\n")
+
+
+def parse(spec: str):
+    cfg = KConfig()
+    attrs = False
+    for part in spec.split("+"):
+        if part in ("span", "centerout", "nocull", "prepassonly"):
+            cfg = cfg._replace(traversal=part)
+        elif part == "attrs":
+            attrs = True
+        elif part.startswith("st"):
+            cfg = cfg._replace(step_tiles=int(part[2:]))
+        elif part.startswith("rt"):
+            cfg = cfg._replace(rt=int(part[2:]))
+        elif part.startswith("cl"):
+            cfg = cfg._replace(cluster=int(part[2:]))
+        elif part.startswith("tr"):
+            cfg = cfg._replace(tri_rows=int(part[2:]))
+        elif part not in ("", "base"):
+            raise ValueError(f"bad config part {part!r}")
+    return cfg, attrs
+
+
+def timeit(label, fn, o, d, n_segments):
+    @jax.jit
+    def looped(o, d):
+        def body(c, _):
+            # perturb so XLA can't CSE identical iterations
+            out = fn(o + c * 1e-30, d)
+            s = sum(jnp.sum(jnp.where(jnp.isfinite(x.astype(jnp.float32)),
+                                      x.astype(jnp.float32), 0.0))
+                    for x in jax.tree_util.tree_leaves(out))
+            return c + s * 1e-30, None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.), None, length=REPS)
+        return jnp.full((8, 128), acc)
+
+    log("compiling:", label)
+    t0 = time.time()
+    np.asarray(looped(o, d))
+    log(f"  compile+first: {time.time()-t0:.1f} s")
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        np.asarray(looped(o, d))
+        dt = min(dt, (time.time() - t0) / REPS)
+    log(f"RESULT {label}: {dt*1e3:8.1f} ms  "
+        f"{n_segments/dt/1e6:7.1f} M segs/s")
+    return dt
+
+
+def main():
+    open("/tmp/ab_kernel.log", "w").close()
+    specs = sys.argv[2:] or ["base", "st4", "st8", "prepassonly", "nocull",
+                             "base+attrs"]
+    b = rt.SceneBuilder()
+    load_model("/root/reference/assets/the_utah_teapot.glb", b,
+               placement="origin")
+    lo, hi = b.bounds()
+    scene = b.build()
+    center, ext = (lo + hi) / 2, float(np.linalg.norm(hi - lo))
+
+    W, H = 1920, 1080
+    cam = rt.Camera(origin=tuple(center + ext * np.array([0.7, 0.4, 0.7])),
+                    look_at=tuple(center), aspect=W / H, focus_dist=1.0)
+    basis = camera_basis(cam)
+    order, _ = _blocked_order(W, H)
+    ids = jnp.asarray(order)
+    st = sampling.seed_state(ids, 0)
+    _, oc, dc = camera_rays(basis, ids % W, ids // W, (W, H), st)
+    oc, dc = jax.block_until_ready(oc), jax.block_until_ready(dc)
+    log("camera rays built; scene tris:", scene.num_tris,
+        "padded:", scene.padded_tris)
+
+    R = oc.shape[0]
+    for spec in specs:
+        cfg, attrs = parse(spec)
+        f = nearest_hit_attrs_pallas if attrs else nearest_hit_pallas
+        timeit(spec, lambda o, d, f=f, cfg=cfg: f(scene, o, d, cfg=cfg),
+               oc, dc, R)
+
+
+if __name__ == "__main__":
+    main()

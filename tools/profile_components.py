@@ -85,26 +85,39 @@ def main():
     key = jnp.arange(R, dtype=jnp.uint32)[::-1]
     payload = [o, d, o + 1.0, o * 0.5, state0, ids, (ids % 2 == 0)]
 
+    from ray_tracer_tpu import materials
+    from ray_tracer_tpu.envlight import environment_light
+    from ray_tracer_tpu.ops.intersect import fused_intersect
+
     timeit("camera_rays+seed", lambda ids: camera_rays(
         basis, ids % W, ids // W, (W, H), sampling.seed_state(ids, 0)), ids)
     timeit("nearest_hit_pallas (primary rays)", lambda o, d:
            nearest_hit_pallas(scene, o, d), o, d)
+    timeit("fused_intersect (attrs, primary)", lambda o, d:
+           fused_intersect(scene, o, d, 1e-4, None), o, d)
     timeit("hit_attributes", lambda o, d: hit_attributes(
         scene, o, d, jnp.minimum(state0.astype(jnp.int32) % 15832, 15831),
         state0 % 2 == 0, 1e-4), o, d)
+    timeit("materials.scatter", lambda d, n: materials.scatter(
+        state0, d, n, jnp.full((R,), 0.3)), d, o * 0.5)
+    timeit("materials.scatter coherent", lambda d, n: materials.scatter(
+        state0, d, n, jnp.full((R,), 0.3), share_tile=128), d, o * 0.5)
+    timeit("environment_light", lambda d: environment_light(d), d)
     timeit("argsort(2M keys)", lambda k: jnp.argsort(k), key)
     timeit("sortkey+argsort+permute x7", lambda o, d: [
         x[jnp.argsort(_ray_sort_key(lo, hi, o, d, ids % 2 == 0))]
         for x in payload], o, d)
     timeit("scatter radiance back", lambda o: jnp.zeros_like(o).at[ids].set(o), o)
-    timeit("full trace (bounces=3)", lambda o, d, st: trace(
-        scene, o, d, st, params)[1], o, d, state0)
+    for b in (0, 1, 3):
+        pb = params.replace(bounces=b)
+        timeit(f"full trace (bounces={b})", lambda o, d, st, pb=pb: trace(
+            scene, o, d, st, pb)[1], o, d, state0)
+    pc = params.replace(coherent_scatter=True)
+    timeit("full trace (b=3 coherent)", lambda o, d, st: trace(
+        scene, o, d, st, pc)[1], o, d, state0)
     p2 = params.replace(compaction=True)
     timeit("full trace (compaction=True)", lambda o, d, st: trace(
         scene, o, d, st, p2)[1], o, d, state0)
-    p0 = params.replace(bounces=0)
-    timeit("full trace (bounces=0)", lambda o, d, st: trace(
-        scene, o, d, st, p0)[1], o, d, state0)
 
 
 if __name__ == "__main__":
