@@ -183,9 +183,19 @@ class CameraController:
         self.rotate_horizontal = dx * 3.0
         self.rotate_vertical = dy * 3.0
 
+    def scroll_line_delta(self, lines: float) -> None:
+        """winit ``LineDelta`` path: ``scroll = -(lines * 10000)``
+        (src/core/camera.rs:237) — the reference's scale, kept verbatim."""
+        self.scroll = -(lines * 10000.0)
+
+    def scroll_pixel_delta(self, pixels_y: float) -> None:
+        """winit ``PixelDelta`` path: ``scroll = -pixels``
+        (src/core/camera.rs:238-241)."""
+        self.scroll = -float(pixels_y)
+
     def scroll_by(self, delta: float) -> None:
-        # src/core/camera.rs:235-244 (LineDelta path scales by 10000).
-        self.scroll = -delta
+        """Back-compat alias for the pixel path."""
+        self.scroll_pixel_delta(delta)
 
 
 def update_camera(cam: Camera, ctl: CameraController, dt: float) -> Camera:

@@ -436,6 +436,11 @@ class Renderer:
 
     def set_params(self, params: RenderParams):
         self.params = params
+        # a resolution change (Context::resize, context.rs:126-142) also
+        # changes the aspect baked into the camera basis
+        self.camera = self.camera.replace(aspect=params.aspect)
+        self._basis = camera_basis(self.camera)
+        self._image = None  # shape may have changed
         self.clear_accumulation()
 
     def step(self) -> jax.Array:

@@ -10,7 +10,11 @@ like Context::input (src/core/context.rs:148-175).
 
 Keys: W/A/S/D move, Space/Z up/down, arrow keys look, scroll zoom,
 mouse-drag look, 0-3 switch built-in scene, B/b bounces +/-, R/r rays per
-pixel +/-, K toggle skybox, C toggle accumulate, P save PNG, Q quit.
+pixel +/-, F/f focus distance +/- (imgui slider 0..10, context.rs:254),
+V/v aperture +/- (slider -2..2, context.rs:255), K toggle skybox,
+C toggle accumulate, P save PNG, Q quit. The title bar mirrors the imgui
+overlay's readout (frame time, frame, camera position/look-at —
+context.rs:235-249).
 
 Headless environments: raises RuntimeError early if no GUI backend works —
 use the CLI `render` command instead.
@@ -85,6 +89,18 @@ class Viewer:
             delta = 1 if event.key == "R" else -1
             self.renderer.set_params(
                 p.replace(rays_per_pixel=max(1, p.rays_per_pixel + delta)))
+        elif k == "f":
+            # imgui "Focus distance" slider range 0..10 (context.rs:254)
+            delta = 0.25 if event.key == "F" else -0.25
+            cam = self.renderer.camera
+            self.renderer.set_camera(cam.replace(
+                focus_dist=min(10.0, max(0.0, cam.focus_dist + delta))))
+        elif k == "v":
+            # imgui "Aperture" slider range -2..2 (context.rs:255)
+            delta = 0.1 if event.key == "V" else -0.1
+            cam = self.renderer.camera
+            self.renderer.set_camera(cam.replace(
+                aperture=min(2.0, max(-2.0, cam.aperture + delta))))
         elif k == "k":
             self.renderer.set_params(p.replace(skybox=not p.skybox))
         elif k == "c":
@@ -98,7 +114,11 @@ class Viewer:
             self._stop()
 
     def _on_scroll(self, event):
-        self.controller.scroll_by(event.step * 0.5)
+        # matplotlib only reports wheel *steps* (lines); the reference's
+        # LineDelta scale of 10000 (camera.rs:237) teleports the camera, so
+        # steps are mapped through the PixelDelta path at ~25 px per step
+        # (deviation D16)
+        self.controller.scroll_pixel_delta(event.step * 25.0)
         self._apply_camera()
 
     def _on_press(self, event):
@@ -119,6 +139,24 @@ class Viewer:
     def _stop(self):
         self._running = False
 
+    def _status_line(self, dt: float) -> str:
+        """The imgui overlay readout (context.rs:235-249): frame time,
+        frame counter, camera position and look-at, plus the knob state."""
+        cam = self.renderer.camera
+        pos = ", ".join(f"{x:.2f}" for x in cam.origin)
+        look = ", ".join(f"{x:.2f}" for x in cam.look_at)
+        sid = self.scene_id if self.scene_id is not None else "-"
+        return (f"frame {self.renderer.frames}  {dt*1e3:.0f} ms  "
+                f"scene {sid}\npos ({pos})  look ({look})  "
+                f"focus {cam.focus_dist:.2f}  aperture {cam.aperture:.2f}")
+
+    def resize(self, width: int, height: int):
+        """Resolution change (Context::resize analog, context.rs:126-142):
+        new params + accumulation reset; XLA recompiles for the new shape."""
+        self.renderer.set_params(
+            self.renderer.params.replace(width=width, height=height))
+        self.im = None  # force imshow rebuild at the new extent
+
     # -- frame loop (run() analog, src/lib.rs:23-69) -----------------------
 
     def run(self, max_frames=None):
@@ -135,10 +173,7 @@ class Viewer:
                 self.im.set_data(rgb)
             dt = time.time() - t0
             self._dt = max(dt, 1e-3)
-            self.ax.set_title(
-                f"frame {self.renderer.frames}  {dt*1e3:.0f} ms  "
-                f"scene {self.scene_id if self.scene_id is not None else '-'}",
-                fontsize=8)
+            self.ax.set_title(self._status_line(dt), fontsize=7)
             self.fig.canvas.draw_idle()
             self.fig.canvas.flush_events()
             n += 1

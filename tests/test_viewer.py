@@ -1,0 +1,119 @@
+"""Viewer tests on the Agg (headless) backend: key routing, knob keys,
+status readout, resize — the imgui-panel analog (context.rs:230-258)."""
+
+import types
+
+import matplotlib
+import numpy as np
+import pytest
+
+matplotlib.use("Agg", force=True)
+
+import ray_tracer_tpu as rt
+from ray_tracer_tpu.viewer import Viewer, view
+
+
+PARAMS = rt.RenderParams(width=16, height=16, bounces=1, backend="jnp",
+                         skybox=True)
+
+
+def make_viewer():
+    scene, cam = rt.builtin_scene("metal", aspect=1.0)
+    return Viewer(scene, cam, PARAMS, scene_id=3)
+
+
+def key(k):
+    return types.SimpleNamespace(key=k)
+
+
+def test_view_raises_headless():
+    scene, cam = rt.builtin_scene("metal", aspect=1.0)
+    with pytest.raises(RuntimeError):
+        view(scene, cam, PARAMS)
+
+
+def test_bounces_and_rpp_keys():
+    v = make_viewer()
+    v._on_key(key("B"))
+    assert v.renderer.params.bounces == 2
+    v._on_key(key("b"))
+    v._on_key(key("b"))
+    assert v.renderer.params.bounces == 0
+    v._on_key(key("b"))
+    assert v.renderer.params.bounces == 0  # clamped
+    v._on_key(key("R"))
+    assert v.renderer.params.rays_per_pixel == 2
+
+
+def test_focus_and_aperture_keys():
+    """Runtime focus-distance / aperture controls (imgui sliders at
+    context.rs:254-255); clamped to the sliders' ranges."""
+    v = make_viewer()
+    f0 = v.renderer.camera.focus_dist
+    v._on_key(key("F"))
+    assert v.renderer.camera.focus_dist == pytest.approx(f0 + 0.25)
+    assert v.renderer.frames == -1  # accumulation cleared
+    v._on_key(key("V"))
+    assert v.renderer.camera.aperture == pytest.approx(0.1)
+    for _ in range(50):
+        v._on_key(key("v"))
+    assert v.renderer.camera.aperture == pytest.approx(-2.0)  # slider min
+    for _ in range(60):
+        v._on_key(key("f"))
+    assert v.renderer.camera.focus_dist == 0.0  # slider min
+
+
+def test_movement_key_clears_accumulation():
+    v = make_viewer()
+    v.renderer.step()
+    v.renderer.step()
+    assert v.renderer.frames >= 1
+    v._on_key(key("w"))
+    assert v.renderer.frames == -1
+
+
+def test_scene_switch_keys():
+    v = make_viewer()
+    v._on_key(key("0"))
+    assert v.scene_id == 0
+    assert v.renderer.scene.num_spheres >= 6  # balls scene
+
+
+def test_toggles_and_scroll():
+    v = make_viewer()
+    assert v.renderer.params.skybox
+    v._on_key(key("k"))
+    assert not v.renderer.params.skybox
+    v._on_key(key("c"))
+    assert not v.renderer.params.accumulate
+    o0 = np.asarray(v.renderer.camera.origin)
+    v._on_scroll(types.SimpleNamespace(step=1.0))
+    assert not np.allclose(np.asarray(v.renderer.camera.origin), o0)
+
+
+def test_status_line_has_camera_readout():
+    """Camera position/look-at readout (context.rs:243-249)."""
+    v = make_viewer()
+    s = v._status_line(0.016)
+    cam = v.renderer.camera
+    assert f"{cam.origin[0]:.2f}" in s and "look (" in s
+    assert "focus" in s and "aperture" in s
+
+
+def test_resize():
+    v = make_viewer()
+    v.resize(24, 12)
+    assert v.renderer.params.width == 24
+    assert v.renderer.camera.aspect == pytest.approx(2.0)
+    img = np.asarray(v.renderer.step())
+    assert img.shape == (12, 24, 3)
+
+
+def test_scroll_delta_paths():
+    """Both reference scroll paths (camera.rs:235-244) exist verbatim."""
+    from ray_tracer_tpu.camera import CameraController
+    c = CameraController()
+    c.scroll_line_delta(2.0)
+    assert c.scroll == -20000.0
+    c.scroll_pixel_delta(30.0)
+    assert c.scroll == -30.0

@@ -112,11 +112,42 @@ def main():
         "padded:", scene.padded_tris)
 
     R = oc.shape[0]
+
+    if "bounce1" in " ".join(specs):
+        # realistic bounce-1 wavefront: primary hits scattered diffusely
+        from ray_tracer_tpu import materials
+        from ray_tracer_tpu.ops.intersect import intersect
+        h = intersect(scene, oc, dc, backend="pallas")
+        _, d2, _ = materials.scatter(st, dc, h.normal, h.smoothness)
+        _, d2c, _ = materials.scatter(st, dc, h.normal, h.smoothness,
+                                      share_tile=128)
+        o2 = jax.block_until_ready(h.point)
+        alive2 = jax.block_until_ready(h.hit)
+        d2, d2c = jax.block_until_ready(d2), jax.block_until_ready(d2c)
+        live = int(np.asarray(alive2).sum())
+        tiles = np.asarray(alive2).reshape(-1, 128).any(1).sum()
+        log(f"bounce-1 rays: {live} live ({100*live/R:.1f}%), "
+            f"{tiles} live tiles ({100*tiles/(R//128):.1f}%)")
+
     for spec in specs:
-        cfg, attrs = parse(spec)
+        base_spec, _, mode = spec.partition("@")
+        cfg, attrs = parse(base_spec)
         f = nearest_hit_attrs_pallas if attrs else nearest_hit_pallas
-        timeit(spec, lambda o, d, f=f, cfg=cfg: f(scene, o, d, cfg=cfg),
-               oc, dc, R)
+        if mode == "bounce1":
+            timeit(spec, lambda o, d, f=f, cfg=cfg: f(
+                scene, o, d, alive=alive2, cfg=cfg), o2, d2, R)
+        elif mode == "bounce1c":   # coherent scatter directions
+            timeit(spec, lambda o, d, f=f, cfg=cfg: f(
+                scene, o, d, alive=alive2, cfg=cfg), o2, d2c, R)
+        elif mode == "dead":       # fully dead wavefront (skip-cost floor)
+            timeit(spec, lambda o, d, f=f, cfg=cfg: f(
+                scene, o, d, alive=jnp.zeros((R,), bool), cfg=cfg), o2, d2, R)
+        elif mode == "alivetrue":  # primary rays but with an alive mask given
+            timeit(spec, lambda o, d, f=f, cfg=cfg: f(
+                scene, o, d, alive=jnp.ones((R,), bool), cfg=cfg), oc, dc, R)
+        else:
+            timeit(spec, lambda o, d, f=f, cfg=cfg: f(scene, o, d, cfg=cfg),
+                   oc, dc, R)
 
 
 if __name__ == "__main__":
