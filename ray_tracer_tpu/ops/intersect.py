@@ -296,18 +296,19 @@ fused_intersect.defvjp(_fused_intersect_fwd, _fused_intersect_bwd)
 def occluded(scene: Scene, o, d, t_min=1e-4, backend: str = "jnp",
              alive=None):
     """Shadow query: True where some primitive blocks the segment o → o+d
-    (i.e. closest hit at t < 1-ε in units of |d|). Skips the attribute
-    gathers of a full intersect; non-differentiable by design (visibility
-    gradients need edge sampling — see docs)."""
+    (i.e. a hit at t < 1-ε in units of |d|). The Pallas backend uses the
+    dedicated early-exit any-hit kernel (no winner tracking, first hit
+    settles a lane) instead of a full closest-hit; non-differentiable by
+    design (visibility gradients need edge sampling — see docs)."""
     if backend == "auto":
         backend = "pallas" if jax.devices()[0].platform == "tpu" else "jnp"
     o_s, d_s = jax.lax.stop_gradient(o), jax.lax.stop_gradient(d)
     scene_s = jax.lax.stop_gradient(scene)
     if backend == "pallas":
-        from .pallas_intersect import nearest_hit_pallas
-        best_t, _ = nearest_hit_pallas(scene_s, o_s, d_s, t_min, alive=alive)
-    else:
-        best_t, _ = nearest_hit_jnp(scene_s, o_s, d_s, t_min)
+        from .pallas_intersect import anyhit_pallas
+        return anyhit_pallas(scene_s, o_s, d_s, t_min, t_max=1.0 - 1e-3,
+                             alive=alive)
+    best_t, _ = nearest_hit_jnp(scene_s, o_s, d_s, t_min)
     return best_t < (1.0 - 1e-3)
 
 

@@ -578,6 +578,202 @@ def _nearest_hit_call(scene: Scene, o, d, t_min, alive, want_attrs,
     return t_out[0, :R], id_out[0, :R]
 
 
+def _make_anyhit_kernel(SP: int, TP: int, t_min: float, t_max: float,
+                        tt_s: int, cfg: KConfig):
+    """Occlusion (shadow-ray) kernel: is ANY primitive in (t_min, t_max)
+    along o + t*d? Early-exits per tile — unlike closest-hit there is no
+    best-t to maintain, a single blocking hit settles a lane, and a tile
+    whose live lanes are all blocked skips its remaining clusters. Replaces
+    the full closest-hit occlusion query (VERDICT r1 #5: NEE paid double
+    intersection cost for no reason)."""
+    n_sph_chunks = SP // tt_s
+    RT, csize = cfg.rt, cfg.cluster
+    tri_sub = min(cfg.tri_rows, csize)
+
+    def kernel(ray_ref, sph_ref, tri_ref, clu_ref, out, blk_ref, flag_ref):
+        def one_tile(L: int):
+            lanes = slice(L, L + RT)
+            ox, oy, oz = (ray_ref[0:1, lanes], ray_ref[1:2, lanes],
+                          ray_ref[2:3, lanes])
+            dx, dy, dz = (ray_ref[3:4, lanes], ray_ref[4:5, lanes],
+                          ray_ref[5:6, lanes])
+            alive = ray_ref[6:7, lanes] > 0.5
+            a_quad = dx * dx + dy * dy + dz * dz
+            invdx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
+            invdy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
+            invdz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
+
+            blk_ref[0:1, :] = jnp.zeros((1, RT), jnp.float32)
+
+            def sphere_chunk(k, carry):
+                s = k * tt_s
+                cx = sph_ref[pl.ds(s, tt_s), 0:1]
+                cy = sph_ref[pl.ds(s, tt_s), 1:2]
+                cz = sph_ref[pl.ds(s, tt_s), 2:3]
+                r2 = sph_ref[pl.ds(s, tt_s), 3:4]
+                vld = sph_ref[pl.ds(s, tt_s), 4:5]
+                ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+                b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+                c = ocx * ocx + ocy * ocy + ocz * ocz - r2
+                disc = b * b - 4.0 * a_quad * c
+                t = (-b - jnp.sqrt(jnp.maximum(disc, 0.0))) / (2.0 * a_quad)
+                hit = ((disc >= 0.0) & (t >= t_min) & (t < t_max)
+                       & (vld > 0.5) & alive)
+                any_hit = jnp.max(jnp.where(hit, 1.0, 0.0), axis=0,
+                                  keepdims=True)
+                blk_ref[0:1, :] = jnp.maximum(blk_ref[0:1, :], any_hit)
+                return carry
+
+            def tri_rows(s, rows):
+                ax = tri_ref[pl.ds(s, rows), 0:1]
+                ay = tri_ref[pl.ds(s, rows), 1:2]
+                az = tri_ref[pl.ds(s, rows), 2:3]
+                e1x = tri_ref[pl.ds(s, rows), 3:4]
+                e1y = tri_ref[pl.ds(s, rows), 4:5]
+                e1z = tri_ref[pl.ds(s, rows), 5:6]
+                e2x = tri_ref[pl.ds(s, rows), 6:7]
+                e2y = tri_ref[pl.ds(s, rows), 7:8]
+                e2z = tri_ref[pl.ds(s, rows), 8:9]
+                nx = tri_ref[pl.ds(s, rows), 9:10]
+                ny = tri_ref[pl.ds(s, rows), 10:11]
+                nz = tri_ref[pl.ds(s, rows), 11:12]
+                aox, aoy, aoz = ox - ax, oy - ay, oz - az
+                det = -(dx * nx + dy * ny + dz * nz)
+                t_num = aox * nx + aoy * ny + aoz * nz
+                daox = aoy * dz - aoz * dy
+                daoy = aoz * dx - aox * dz
+                daoz = aox * dy - aoy * dx
+                u_num = e2x * daox + e2y * daoy + e2z * daoz
+                v_num = -(e1x * daox + e1y * daoy + e1z * daoz)
+                inv = 1.0 / det
+                t = t_num * inv
+                u = u_num * inv
+                v = v_num * inv
+                hit = ((det >= TRI_DET_EPS) & (t >= t_min) & (t < t_max)
+                       & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & alive)
+                any_hit = jnp.max(jnp.where(hit, 1.0, 0.0), axis=0,
+                                  keepdims=True)
+                blk_ref[0:1, :] = jnp.maximum(blk_ref[0:1, :], any_hit)
+
+            def prepass():
+                C = clu_ref.shape[0]
+                lox, loy, loz = (clu_ref[:, 0:1], clu_ref[:, 1:2],
+                                 clu_ref[:, 2:3])
+                hix, hiy, hiz = (clu_ref[:, 3:4], clu_ref[:, 4:5],
+                                 clu_ref[:, 5:6])
+                t1x, t2x = (lox - ox) * invdx, (hix - ox) * invdx
+                t1y, t2y = (loy - oy) * invdy, (hiy - oy) * invdy
+                t1z, t2z = (loz - oz) * invdz, (hiz - oz) * invdz
+                tn = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                             jnp.minimum(t1y, t2y)),
+                                 jnp.maximum(jnp.minimum(t1z, t2z), t_min))
+                tf = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                             jnp.maximum(t1y, t2y)),
+                                 jnp.maximum(t1z, t2z))
+                # the shadow segment ends at t_max: clusters entirely
+                # beyond it can't block
+                enter = (tf >= tn) & (tn < t_max) & alive
+                flag = jnp.max(jnp.where(enter, 1, 0), axis=1, keepdims=True)
+                flag_ref[:, :] = jnp.broadcast_to(flag, flag_ref.shape)
+                cidx = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+                first = jnp.min(jnp.where(flag > 0, cidx, C))
+                last = jnp.max(jnp.where(flag > 0, cidx, -1))
+                return first, last
+
+            def span_body(c, carry):
+                # early-exit: once every live lane is blocked, remaining
+                # clusters are skipped (the any-hit advantage)
+                settled = jnp.all((blk_ref[0:1, :] > 0.5) | ~alive)
+
+                @pl.when((flag_ref[c, 0] > 0) & ~settled)
+                def _():
+                    for r0 in range(0, csize, tri_sub):
+                        tri_rows(c * csize + r0, tri_sub)
+                return carry
+
+            @pl.when(jnp.any(alive))
+            def _():
+                jax.lax.fori_loop(0, n_sph_chunks, sphere_chunk, 0)
+
+                @pl.when(jnp.any(alive & ~(blk_ref[0:1, :] > 0.5)))
+                def _():
+                    first, last = prepass()
+                    jax.lax.fori_loop(first, last + 1, span_body, 0)
+
+            out[:, lanes] = jnp.broadcast_to(blk_ref[0:1, :], (8, RT))
+
+        for s in range(cfg.step_tiles):
+            one_tile(s * RT)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("t_min", "t_max", "interpret",
+                                             "cfg"))
+def _anyhit_call(scene: Scene, o, d, t_min, t_max, alive, interpret,
+                 cfg: KConfig):
+    R = o.shape[0]
+    SP, TP = scene.padded_spheres, scene.padded_tris
+    tt_s = min(SPH_TT, SP)
+    if TP % cfg.cluster != 0:
+        cfg = cfg._replace(cluster=128)
+    csize, RT = cfg.cluster, cfg.rt
+
+    step = RT * cfg.step_tiles
+    n_steps = -(-R // step)
+    Rp = n_steps * step
+    alive_f = (jnp.ones((R,), jnp.float32) if alive is None
+               else alive.astype(jnp.float32))
+    rays = jnp.concatenate([o, d, alive_f[:, None]], axis=1).T
+    rays = jnp.pad(rays, ((0, 1), (0, Rp - R)))
+
+    sph = _pack_spheres(scene)
+    tri = _pack_tris(scene)
+    clu = _cluster_aabbs(scene, csize)
+
+    kernel = _make_anyhit_kernel(SP, TP, float(t_min), float(t_max), tt_s,
+                                 cfg)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((8, step), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SP, 16), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TP, 32), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TP // csize, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, step), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, Rp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((8, RT), jnp.float32),           # blocked mask
+            pltpu.VMEM((TP // csize, 128), jnp.int32),  # cluster flags
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=Rp * (SP * 25 + TP * 45) // 4,
+            bytes_accessed=Rp * 8 * 4 + SP * 64 + TP * 128 + Rp * 4,
+            transcendentals=0,
+        ),
+    )(rays, sph, tri, clu)
+    return out[0, :R] > 0.5
+
+
+def anyhit_pallas(scene: Scene, o, d, t_min=1e-4, t_max=1.0 - 1e-3,
+                  alive=None, interpret=False, cfg: KConfig | None = None):
+    """Early-exit occlusion query: True where ANY primitive intersects
+    o + t*d with t in [t_min, t_max) (t in units of |d|, so d spans the
+    shadow segment). Much cheaper than closest-hit for NEE shadow rays:
+    no winner tracking, first hit settles a lane, saturated tiles skip
+    remaining clusters."""
+    return _anyhit_call(scene, o, d, t_min, t_max, alive,
+                        _auto_interpret(interpret), cfg or env_config())
+
+
 def _auto_interpret(interpret):
     # the kernel runs in interpreter mode automatically off-TPU, so the
     # pallas backend is usable (and testable) on the CPU harness

@@ -137,3 +137,37 @@ def test_renderer_backends_match_with_coherent_scatter():
                          jnp.int32(0))
     np.testing.assert_allclose(np.asarray(img_j), np.asarray(img_p),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_anyhit_matches_oracle_room():
+    """Early-exit shadow kernel == jnp occlusion oracle (random segments)."""
+    from ray_tracer_tpu.ops.pallas_intersect import anyhit_pallas
+    from ray_tracer_tpu.ops.intersect import nearest_hit_jnp
+
+    scene, _ = rt.builtin_scene("room", aspect=1.0)
+    rng = np.random.default_rng(3)
+    R = 640
+    o = jnp.asarray(rng.uniform(-1.5, 1.5, (R, 3)) + [3, 1.5, 0], jnp.float32)
+    tgt = jnp.asarray(rng.uniform(-2, 2, (R, 3)) + [3, 1.5, 0], jnp.float32)
+    d = tgt - o
+    got = np.asarray(anyhit_pallas(scene, o, d))
+    t, _ = nearest_hit_jnp(scene, o, d, 1e-4)
+    want = np.asarray(t < 1.0 - 1e-3)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_anyhit_alive_mask_and_tmax():
+    from ray_tracer_tpu.ops.pallas_intersect import anyhit_pallas
+
+    scene, _ = rt.builtin_scene("metal", aspect=1.0)
+    R = 256
+    # aim at the center sphere (at origin area) from z = +5
+    o = jnp.tile(jnp.asarray([[0.0, 0.0, 3.0]], jnp.float32), (R, 1))
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, -6.0]], jnp.float32), (R, 1))
+    alive = jnp.arange(R) % 2 == 0
+    got = np.asarray(anyhit_pallas(scene, o, d, alive=alive))
+    assert got[::2].all()          # live lanes: blocked by the spheres
+    assert not got[1::2].any()     # dead lanes: never blocked
+    # a segment too short to reach the sphere is unoccluded
+    short = np.asarray(anyhit_pallas(scene, o, d * 0.1))
+    assert not short.any()
