@@ -71,3 +71,25 @@ def test_initialize_idempotent_single_process():
 def test_pixel_sharding_spec():
     spec = pixel_sharding_spec()
     assert spec == jax.sharding.PartitionSpec((HOST_AXIS, CHIP_AXIS))
+
+
+def test_host_chip_mesh_rejects_uneven_devices():
+    import pytest
+    from ray_tracer_tpu.parallel import distributed
+
+    class FakeDev:
+        def __init__(self, proc):
+            self.process_index = proc
+
+    devs = [FakeDev(0), FakeDev(0), FakeDev(1)]  # 2 chips vs 1 chip
+    with pytest.raises(ValueError, match="uneven"):
+        distributed.make_host_chip_mesh(devs)
+
+
+def test_host_chip_mesh_groups_by_process_index():
+    # interleaved device order must still land each host's chips in one row
+    from ray_tracer_tpu.parallel import distributed
+    devs = jax.devices()
+    mesh = distributed.make_host_chip_mesh(devs)
+    for row in mesh.devices:
+        assert len({getattr(d, "process_index", 0) for d in row}) == 1
