@@ -41,8 +41,14 @@ def build_workload():
     teapot = "/root/reference/assets/the_utah_teapot.glb"
     b = rt.SceneBuilder()
     if os.path.exists(teapot):
+        # use_textures=False: the reference parity workload is pure
+        # geometry — its shader has no texture sampler (textures are dead
+        # code, /root/reference/src/core/scene.rs:466) and this benchmark
+        # measures intersection throughput. The textured path (fused
+        # in-kernel UV extraction + XLA texture fetch) is measured
+        # separately in docs/PERF_NOTES.md.
         load_model(teapot, b, placement="origin", albedo=(0.7, 0.5, 0.3),
-                   smoothness=0.3)
+                   smoothness=0.3, use_textures=False)
         lo, hi = b.bounds()  # host-side: avoids a device→host pull
         scene = b.build()
         center = (lo + hi) / 2
@@ -53,6 +59,89 @@ def build_workload():
     else:  # fallback: room scene
         scene, cam = rt.builtin_scene("room", aspect=params.aspect)
     return scene, cam, params
+
+
+def bench_fwd_bwd(scene, basis, params):
+    """Forward+backward rays/s (BASELINE.md:36): time one fused-path
+    gradient step — d/d(scene) of the image MSE against a fixed target —
+    on the same 1080p teapot workload. Differentiates w.r.t. EVERY float
+    scene leaf (vertices, normals, materials, textures) through the
+    custom_vjp winner-recompute, i.e. a full inverse-rendering step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ray_tracer_tpu.renderer import render_frame
+
+    target = jax.lax.stop_gradient(
+        render_frame(scene, basis, params, jnp.int32(1)))
+
+    @jax.jit
+    def grad_step(s, frame):
+        def loss_fn(s):
+            img = render_frame(s, basis, params, frame)
+            return jnp.mean((img - target) ** 2)
+        return jax.grad(loss_fn)(s)
+
+    t0 = time.time()
+    g = grad_step(scene, jnp.int32(0))
+    # pull one small leaf as the sync (full pytree pull is relay-slow)
+    np.asarray(g.tri_albedo)
+    compile_s = time.time() - t0
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        g = grad_step(scene, jnp.int32(0))
+        np.asarray(g.tri_albedo)
+        dt = min(dt, time.time() - t0)
+    segs = (params.width * params.height * params.rays_per_pixel
+            * (params.bounces + 1))
+    return segs / dt, dt, compile_s
+
+
+def parity_evidence():
+    """On-device correctness evidence (VERDICT r1 #3): compiled Pallas vs
+    jnp oracle, on the chip this benchmark runs on — a room frame (spheres
+    + tris + dielectric + emissive) and a textured teapot slice (fused
+    24-row extraction + quad-gather sampling). Returns max |Δ| per case;
+    the assert makes a silent Mosaic/interpret divergence fail the bench."""
+    import numpy as np
+    import jax.numpy as jnp
+    import ray_tracer_tpu as rt
+    from ray_tracer_tpu.io import load_model
+    from ray_tracer_tpu.renderer import camera_basis, render_frame
+
+    out = {}
+    scene, cam = rt.builtin_scene("room", aspect=1.0)
+    basis = camera_basis(cam)
+    p = rt.RenderParams(width=128, height=128, bounces=3, skybox=True)
+    a = np.asarray(render_frame(scene, basis, p.replace(backend="jnp"),
+                                jnp.int32(0)))
+    b = np.asarray(render_frame(scene, basis, p.replace(backend="pallas"),
+                                jnp.int32(0)))
+    out["room_128"] = float(np.abs(a - b).max())
+
+    teapot = "/root/reference/assets/the_utah_teapot.glb"
+    if os.path.exists(teapot):
+        bld = rt.SceneBuilder()
+        load_model(teapot, bld, placement="origin", smoothness=0.3)
+        lo, hi = bld.bounds()
+        s2 = bld.build()
+        import numpy as _np
+        center = (lo + hi) / 2
+        ext = float(_np.linalg.norm(hi - lo))
+        cam2 = rt.Camera(origin=tuple(center + ext * _np.array([0.7, 0.4, 0.7])),
+                         look_at=tuple(center), aspect=1.0, focus_dist=1.0)
+        b2 = camera_basis(cam2)
+        p2 = rt.RenderParams(width=96, height=96, bounces=1, skybox=True)
+        a = np.asarray(render_frame(s2, b2, p2.replace(backend="jnp"),
+                                    jnp.int32(0)))
+        bb = np.asarray(render_frame(s2, b2, p2.replace(backend="pallas"),
+                                     jnp.int32(0)))
+        out["teapot_tex_96"] = float(np.abs(a - bb).max())
+
+    for k, v in out.items():
+        assert v < 2e-2, f"pallas/jnp divergence on device: {k} max|d|={v}"
+    return out
 
 
 def main():
@@ -84,6 +173,9 @@ def main():
     rays_per_s = segments / dt
     vs = (rays_per_s / BASELINE_RAYS_PER_S) if BASELINE_RAYS_PER_S else 1.0
 
+    fb_rays_per_s, fb_dt, fb_compile_s = bench_fwd_bwd(scene, basis, params)
+    parity = parity_evidence()
+
     print(json.dumps({
         "metric": "rays/s/chip fwd 1080p teapot (brute force)",
         "value": round(rays_per_s, 1),
@@ -98,6 +190,10 @@ def main():
             "bounces": params.bounces, "rpp": params.rays_per_pixel,
             "backend": params.backend,
             "device": str(jax.devices()[0]),
+            "fwd_bwd_rays_per_s": round(fb_rays_per_s, 1),
+            "fwd_bwd_s_per_step": round(fb_dt, 3),
+            "fwd_bwd_compile_s": round(fb_compile_s, 1),
+            "on_device_parity_max_abs_diff": parity,
         },
     }))
 

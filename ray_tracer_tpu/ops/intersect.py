@@ -153,6 +153,25 @@ def _pack_tri_attrs(scene: Scene):
     return jnp.concatenate(cols, axis=1)
 
 
+def _textured_shading(textures, albedo, normal, uv, tex, ntex, tan, bitan,
+                      with_normal_maps=True):
+    """Texture-map the shading attributes of rays whose winner carries
+    texture ids: modulate albedo by the base-color map and rotate the
+    normal by the tangent-frame normal map. ``tex``/``ntex`` = -1 lanes
+    pass through unchanged (sample_bilinear returns white). Shared by the
+    jnp winner-recompute (hit_attributes) and the fused Pallas forward.
+    ``with_normal_maps=False`` (static, from scene.num_normal_maps) elides
+    the second texture fetch entirely."""
+    from ..texture import decode_normal_map, sample_bilinear
+    albedo = albedo * sample_bilinear(textures, tex, uv)
+    if with_normal_maps:
+        nm = decode_normal_map(sample_bilinear(textures, ntex, uv))
+        n_mapped = _safe_normalize(
+            nm[:, 0:1] * tan + nm[:, 1:2] * bitan + nm[:, 2:3] * normal)
+        normal = jnp.where((ntex >= 0)[:, None], n_mapped, normal)
+    return albedo, normal
+
+
 def hit_attributes(scene: Scene, o, d, prim_id, miss, t_min):
     """Gather the winning primitive and recompute the hit differentiably.
 
@@ -209,17 +228,13 @@ def hit_attributes(scene: Scene, o, d, prim_id, miss, t_min):
     # --- UV/texture shading (extension; static no-op when untextured) ----
     tri_albedo = tp[:, 18:21]
     if scene.num_textures:
-        from ..texture import decode_normal_map, sample_bilinear
         uv = (tp[:, 26:28] * w[:, None] + tp[:, 28:30] * u[:, None]
               + tp[:, 30:32] * v[:, None])
-        tex_id = tp[:, 38].astype(jnp.int32)
-        tri_albedo = tri_albedo * sample_bilinear(scene.textures, tex_id, uv)
-        ntex_id = tp[:, 39].astype(jnp.int32)
-        nm = decode_normal_map(sample_bilinear(scene.textures, ntex_id, uv))
-        n_mapped = _safe_normalize(
-            nm[:, 0:1] * tp[:, 32:35] + nm[:, 1:2] * tp[:, 35:38]
-            + nm[:, 2:3] * n_tri)
-        n_tri = jnp.where((ntex_id >= 0)[:, None], n_mapped, n_tri)
+        tri_albedo, n_tri = _textured_shading(
+            scene.textures, tri_albedo, n_tri, uv,
+            tp[:, 38].astype(jnp.int32), tp[:, 39].astype(jnp.int32),
+            tp[:, 32:35], tp[:, 35:38],
+            with_normal_maps=scene.num_normal_maps > 0)
 
     # --- select ------------------------------------------------------------
     it = is_tri[:, None]
@@ -263,10 +278,20 @@ def _fused_forward(scene, o, d, t_min, alive):
         scene_s, o_s, d_s, t_min, alive=alive)
     miss = jnp.isinf(best_t)
     t = jnp.where(miss, 0.0, best_t)
+    normal = _safe_normalize(attrs[:, 0:3])
+    albedo = attrs[:, 3:6]
+    if scene.num_textures:
+        # the kernel emitted interpolated UVs + texture ids + tangent frame
+        # (attr rows 11-20); only the texture fetch itself stays outside
+        albedo, normal = _textured_shading(
+            scene_s.textures, albedo, normal, attrs[:, 11:13],
+            attrs[:, 13].astype(jnp.int32), attrs[:, 14].astype(jnp.int32),
+            attrs[:, 15:18], attrs[:, 18:21],
+            with_normal_maps=scene.num_normal_maps > 0)
     hit = Hit(
         t=t, hit=jnp.logical_not(miss), prim_id=prim_id,
         point=o_s + d_s * t[:, None],
-        normal=_safe_normalize(attrs[:, 0:3]), albedo=attrs[:, 3:6],
+        normal=normal, albedo=albedo,
         emission=attrs[:, 6:9], emission_strength=attrs[:, 9],
         smoothness=attrs[:, 10])
     return hit, prim_id, miss
@@ -322,17 +347,12 @@ def intersect(scene: Scene, o, d, t_min=1e-4, backend: str = "jnp",
     """
     if backend == "auto":
         backend = "pallas" if jax.devices()[0].platform == "tpu" else "jnp"
-    if backend == "pallas" and scene.num_textures == 0:
-        # fused path: attributes extracted in-kernel (textured scenes need
-        # the UV/tangent gather of hit_attributes and take the slow path)
+    if backend == "pallas":
+        # fused path: attributes (incl. UVs/texture ids when textured)
+        # extracted in-kernel; only texture fetches run outside
         return fused_intersect(scene, o, d, t_min, alive)
     o_s, d_s = jax.lax.stop_gradient(o), jax.lax.stop_gradient(d)
     scene_s = jax.lax.stop_gradient(scene)
-    if backend == "pallas":
-        from .pallas_intersect import nearest_hit_pallas
-        best_t, prim_id = nearest_hit_pallas(scene_s, o_s, d_s, t_min,
-                                             alive=alive)
-    else:
-        best_t, prim_id = nearest_hit_jnp(scene_s, o_s, d_s, t_min)
+    best_t, prim_id = nearest_hit_jnp(scene_s, o_s, d_s, t_min)
     miss = jnp.isinf(best_t)
     return hit_attributes(scene, o, d, prim_id, miss, t_min)

@@ -108,13 +108,18 @@ def env_config() -> KConfig:
     )
 
 
-def _pack_tris(scene: Scene):
-    """(TP, 32) plane array:
+def _pack_tris(scene: Scene, textured: bool = False):
+    """(TP, 32|48) plane array:
     [a(3) | e1(3) | e2(3) | n(3) | n0(3) | n1(3) | n2(3) | albedo(3) |
      emission(3) | es | smooth | pad(3)] — Möller–Trumbore geometry plus the
     shading attributes the extraction pass reads. ONE array because VMEM
     pads the lane (last) dimension to 128: two arrays would double the 8 MB
     padded footprint and overflow the ~16 MB VMEM budget (measured).
+
+    ``textured`` appends [uv0(2) | uv1(2) | uv2(2) | tan(3) | bitan(3) |
+    tex | ntex | pad(2)] at cols 32-47 so the fused extraction can emit
+    interpolated UVs + texture ids in-kernel (the 128-lane VMEM padding
+    means the wider plane array costs no extra VMEM).
 
     n = e1 × e2 is the unnormalized geometric normal; ray-independent, so
     XLA hoists the packing out of the per-frame loop.
@@ -124,13 +129,22 @@ def _pack_tris(scene: Scene):
     e2 = scene.tri_v2 - scene.tri_v0
     n = jnp.cross(e1, e2)
     pad = jnp.zeros((a.shape[0], 3), jnp.float32)
-    return jnp.concatenate([
+    cols = [
         a, e1, e2, n,
         scene.tri_n0, scene.tri_n1, scene.tri_n2,
         scene.tri_albedo, scene.tri_emission,
         scene.tri_emission_strength[:, None],
         scene.tri_smoothness[:, None], pad,
-    ], axis=1)
+    ]
+    if textured:
+        cols += [
+            scene.tri_uv0, scene.tri_uv1, scene.tri_uv2,
+            scene.tri_tan, scene.tri_bitan,
+            scene.tri_tex[:, None].astype(jnp.float32),
+            scene.tri_ntex[:, None].astype(jnp.float32),
+            jnp.zeros((a.shape[0], 2), jnp.float32),
+        ]
+    return jnp.concatenate(cols, axis=1)
 
 
 def _pack_spheres(scene: Scene):
@@ -178,10 +192,11 @@ def _min_fold_refs(t_pairs, valid, ids, bt_ref, bi_ref):
 
 
 def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
-                 want_attrs: bool, cfg: KConfig):
+                 want_attrs: bool, cfg: KConfig, textured: bool = False):
     n_sph_chunks = SP // tt_s
     RT, csize = cfg.rt, cfg.cluster
     tri_sub = min(cfg.tri_rows, csize)
+    AR = 24 if textured else 16      # attr rows (see nearest_hit_attrs_pallas)
 
     def kernel(ray_ref, sph_ref, tri_ref, clu_ref, *outs_and_scratch):
         if want_attrs:
@@ -387,7 +402,7 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
                 pxw = ox + best_t_v * dx      # winner hit point (1, RT)
                 pyw = oy + best_t_v * dy
                 pzw = oz + best_t_v * dz
-                acc_ref[:, :] = jnp.zeros((16, RT), jnp.float32)
+                acc_ref[:, :] = jnp.zeros((AR, RT), jnp.float32)
 
                 def sph_extract(k, carry):
                     sbase = k * tt_s
@@ -417,6 +432,12 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
                             jnp.where(ok, sph_ref[pl.ds(sbase, tt_s),
                                                   col:col + 1], 0.0),
                             0, keepdims=True)
+                    if textured:
+                        # sphere winners are untextured: tex = ntex = -1
+                        m_neg = jnp.sum(jnp.where(ok, -1.0, 0.0), 0,
+                                        keepdims=True)
+                        acc_ref[13:14, :] += m_neg
+                        acc_ref[14:15, :] += m_neg
                     return carry
 
                 def tri_extract(c, carry):
@@ -468,6 +489,25 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
                                 jnp.where(m > 0, tri_ref[sl, col:col + 1],
                                           0.0),
                                 0, keepdims=True)
+                        if textured:
+                            # interpolated UV (rows 11-12) + texture ids
+                            # (13-14) + tangent frame (15-20); plane cols
+                            # per _pack_tris(textured=True)
+                            for row, (c0, c1, c2) in ((11, (32, 34, 36)),
+                                                      (12, (33, 35, 37))):
+                                uvb = (w * tri_ref[sl, c0:c0 + 1]
+                                       + u * tri_ref[sl, c1:c1 + 1]
+                                       + v * tri_ref[sl, c2:c2 + 1])
+                                acc_ref[row:row + 1, :] += jnp.sum(
+                                    jnp.where(m > 0, uvb, 0.0), 0,
+                                    keepdims=True)
+                            for row, col in ((13, 44), (14, 45),  # tex, ntex
+                                             (15, 38), (16, 39), (17, 40),
+                                             (18, 41), (19, 42), (20, 43)):
+                                acc_ref[row:row + 1, :] += jnp.sum(
+                                    jnp.where(m > 0,
+                                              tri_ref[sl, col:col + 1], 0.0),
+                                    0, keepdims=True)
                     return carry
 
                 @pl.when(jnp.any(alive))
@@ -521,11 +561,15 @@ def _nearest_hit_call(scene: Scene, o, d, t_min, alive, want_attrs,
     rays = jnp.concatenate([o, d, alive_f[:, None]], axis=1).T   # (7, R)
     rays = jnp.pad(rays, ((0, 1), (0, Rp - R)))                  # (8, Rp)
 
+    textured = want_attrs and scene.num_textures > 0
     sph = _pack_spheres(scene)                                   # (SP, 16)
-    tri = _pack_tris(scene)                                      # (TP, 32)
+    tri = _pack_tris(scene, textured)                            # (TP, 32|48)
     clu = _cluster_aabbs(scene, csize)                           # (C, 8)
+    TW = tri.shape[1]
+    AR = 24 if textured else 16
 
-    kernel = _make_kernel(SP, TP, float(t_min), tt_s, want_attrs, cfg)
+    kernel = _make_kernel(SP, TP, float(t_min), tt_s, want_attrs, cfg,
+                          textured)
     out_specs = [
         pl.BlockSpec((8, step), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((8, step), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -542,10 +586,10 @@ def _nearest_hit_call(scene: Scene, o, d, t_min, alive, want_attrs,
         # flag_ref[c, 0] read aligned for any RT)
     ]
     if want_attrs:
-        out_specs.append(pl.BlockSpec((16, step), lambda i: (0, i),
+        out_specs.append(pl.BlockSpec((AR, step), lambda i: (0, i),
                                       memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((16, Rp), jnp.float32))
-        scratch.append(pltpu.VMEM((16, RT), jnp.float32))  # attr accum
+        out_shape.append(jax.ShapeDtypeStruct((AR, Rp), jnp.float32))
+        scratch.append(pltpu.VMEM((AR, RT), jnp.float32))  # attr accum
 
     outs = pl.pallas_call(
         kernel,
@@ -555,7 +599,7 @@ def _nearest_hit_call(scene: Scene, o, d, t_min, alive, want_attrs,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((SP, 16), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TP, 32), lambda i: (0, 0),
+            pl.BlockSpec((TP, TW), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TP // csize, 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -798,9 +842,11 @@ def nearest_hit_pallas(scene: Scene, o, d, t_min=1e-4, alive=None,
 def nearest_hit_attrs_pallas(scene: Scene, o, d, t_min=1e-4, alive=None,
                              interpret=False, cfg: KConfig | None = None):
     """Closest hit PLUS winner shading attributes extracted in-kernel:
-    returns (t (R,), prim_id (R,), attrs (R, 16)) with attr columns
+    returns (t (R,), prim_id (R,), attrs (R, 16|24)) with attr columns
     [normal(3, unnormalized blend) | albedo(3) | emission(3) |
-    emission_strength | smoothness | pad(5)]. Replaces the XLA
+    emission_strength | smoothness | pad(5)]; textured scenes get 24
+    columns, replacing the pad with [uv(2) | tex | ntex | tan(3) |
+    bitan(3) | pad(3)] (sphere winners: tex = ntex = -1). Replaces the XLA
     winner-gather (hit_attributes) on the forward path; see
     intersect.fused_intersect for the custom_vjp that keeps training
     differentiable."""

@@ -88,6 +88,9 @@ class Scene:
     num_spheres: int = _field(metadata=dict(static=True), default=0)
     num_tris: int = _field(metadata=dict(static=True), default=0)
     num_textures: int = _field(metadata=dict(static=True), default=0)
+    # static: lets the shading path skip the normal-map sample+decode
+    # entirely when no triangle references one (the common case)
+    num_normal_maps: int = _field(metadata=dict(static=True), default=0)
 
     @property
     def padded_spheres(self) -> int:
@@ -304,6 +307,7 @@ class SceneBuilder:
             tri_bitan=j(bitan.astype(np.float32)),
             tri_tex=j(texid_p), tri_ntex=j(ntexid_p), textures=j(tex_stack),
             num_spheres=S, num_tris=T, num_textures=len(self.textures),
+            num_normal_maps=int((ntexid_p >= 0).sum()),
         )
 
 

@@ -43,6 +43,14 @@ def prepare_texture(image, resolution: int, srgb: bool) -> np.ndarray:
 def sample_bilinear(stack, tex_id, uv):
     """Bilinear texture fetch with repeat wrapping.
 
+    TPU gathers are row-rate limited (~40 ms per 2M rows on v5e regardless
+    of row width, measured), so the four taps are folded into ONE gather:
+    each texel row of the quad table holds its full 2×2 wrap-around
+    neighborhood [c00 | c10 | c01 | c11] (12 floats). The quad table is a
+    roll+concat of the stack — scene-invariant, so XLA hoists it out of
+    the per-bounce/per-frame loops — and the gather transpose (scatter-add)
+    keeps texel gradients exact for texture recovery.
+
     Args:
       stack: (K, R, R, 3) f32 texture stack.
       tex_id: (N,) int32, -1 = untextured (returns white).
@@ -51,7 +59,10 @@ def sample_bilinear(stack, tex_id, uv):
     Returns (N, 3).
     """
     K, H, W, _ = stack.shape
-    flat = stack.reshape(K * H * W, 3)
+    sx = jnp.roll(stack, -1, axis=2)             # x+1 neighbor (wrapped)
+    sy = jnp.roll(stack, -1, axis=1)             # y+1
+    sxy = jnp.roll(sx, -1, axis=1)               # x+1, y+1
+    quad = jnp.concatenate([stack, sx, sy, sxy], -1).reshape(K * H * W, 12)
     tid = jnp.clip(tex_id, 0, K - 1)
 
     u = uv[:, 0] - jnp.floor(uv[:, 0])          # repeat wrap
@@ -62,16 +73,12 @@ def sample_bilinear(stack, tex_id, uv):
     y0 = jnp.floor(y)
     fx = (x - x0)[:, None]
     fy = (y - y0)[:, None]
+    xi = jnp.mod(x0.astype(jnp.int32), W)
+    yi = jnp.mod(y0.astype(jnp.int32), H)
 
-    def texel(xi, yi):
-        xi = jnp.mod(xi.astype(jnp.int32), W)
-        yi = jnp.mod(yi.astype(jnp.int32), H)
-        return flat[(tid * H + yi) * W + xi]
-
-    c00 = texel(x0, y0)
-    c10 = texel(x0 + 1, y0)
-    c01 = texel(x0, y0 + 1)
-    c11 = texel(x0 + 1, y0 + 1)
+    rows = quad[(tid * H + yi) * W + xi]         # (N, 12): the one gather
+    c00, c10 = rows[:, 0:3], rows[:, 3:6]
+    c01, c11 = rows[:, 6:9], rows[:, 9:12]
     top = c00 * (1 - fx) + c10 * fx
     bot = c01 * (1 - fx) + c11 * fx
     out = top * (1 - fy) + bot * fy

@@ -60,6 +60,55 @@ def test_fused_attrs_mesh():
     _check_scene(scene, *_rand_rays(384, seed=4))
 
 
+def _textured_scene():
+    rng = np.random.default_rng(11)
+    b = rt.SceneBuilder()
+    tex = rng.random((8, 8, 3)).astype(np.float32)
+    nmap = np.full((8, 8, 3), 0.5, np.float32)
+    nmap[..., 2] = 1.0
+    nmap[:4, :, 0] = 0.8            # non-trivial normal perturbation
+    ti = b.add_texture(tex, srgb=False)
+    ni = b.add_texture(nmap, srgb=False)
+    b.add_mesh([(0, 0, 2), (1, 0, 2), (0, 1, 2)], [(0, 0, -1)] * 3,
+               [0, 2, 1], albedo=(1, 1, 1), smoothness=0.1,
+               uvs=[(0, 0), (1, 0), (0, 1)], tex=ti, normal_tex=ni)
+    b.add_mesh([(-1, -1, 3), (0.5, -1, 3), (-1, 0.5, 3)], [(0, 0, -1)] * 3,
+               [0, 2, 1], albedo=(0.5, 0.7, 0.9),
+               uvs=[(0, 1), (1, 1), (0, 0)], tex=ti)
+    b.add_sphere((0.2, 0.2, 4), 0.8, albedo=(0.9, 0.2, 0.1))
+    return b.build(pad=128)
+
+
+def test_fused_attrs_textured():
+    """Textured scenes use the 24-row fused extraction (UV + tex ids +
+    tangent frame in-kernel); albedo modulation and normal mapping must
+    match the hit_attributes oracle on every hit lane."""
+    scene = _textured_scene()
+    assert scene.num_textures == 2
+    n = 256
+    th = np.linspace(-0.25, 0.25, n)
+    o = jnp.zeros((n, 3), jnp.float32)
+    d = jnp.asarray(np.stack([np.sin(th), np.sin(th[::-1]) * 0.8,
+                              np.ones(n)], -1), jnp.float32)
+    fused = fused_intersect(scene, o, d, 1e-4, None)
+    t_ref, pid = nearest_hit_jnp(scene, o, d, 1e-4)
+    ref = hit_attributes(scene, o, d, pid, jnp.isinf(t_ref), 1e-4)
+    m = np.asarray(ref.hit)
+    assert m.sum() > 50
+    np.testing.assert_array_equal(np.asarray(fused.hit), m)
+    for field in ("normal", "albedo", "emission", "t"):
+        np.testing.assert_allclose(np.asarray(getattr(fused, field))[m],
+                                   np.asarray(getattr(ref, field))[m],
+                                   rtol=5e-4, atol=2e-5, err_msg=field)
+    # sphere winner must be untextured (tex=-1 passthrough: exact albedo)
+    sph = m & (np.asarray(ref.prim_id) < scene.padded_spheres)
+    if sph.any():
+        want = np.broadcast_to([0.9, 0.2, 0.1],
+                               np.asarray(fused.albedo)[sph].shape)
+        np.testing.assert_allclose(np.asarray(fused.albedo)[sph], want,
+                                   atol=2e-5)
+
+
 def test_fused_gradients_match_oracle():
     """custom_vjp backward must reproduce the jnp path's gradients."""
     scene, _ = rt.builtin_scene("metal", pad=128)

@@ -139,6 +139,11 @@ def main():
             scene, o, d, s, rt.RenderParams(width=W, height=H, bounces=3,
                                             skybox=True,
                                             backend="pallas"))[1],
+        # exact bench.py params (coherent_scatter on)
+        "realcoh": lambda o, d, s: trace(
+            scene, o, d, s, rt.RenderParams(width=W, height=H, bounces=3,
+                                            skybox=True, backend="pallas",
+                                            coherent_scatter=True))[1],
     }
     for spec in specs:
         timeit(spec, variants[spec], oc, dc, st)
