@@ -16,6 +16,11 @@ import os
 import sys
 import time
 
+# NOTE: do NOT enable JAX_COMPILATION_CACHE_DIR here. On the tunneled TPU
+# backend the persistent cache's executable serialization stalls for ~2
+# minutes per program and then writes nothing (measured: a trivial jit
+# goes 2 s -> 128 s with the cache enabled).
+
 # First PROPERLY-SYNCED number on this workload (round 1, pre-culling
 # brute-force kernel, TPU v5e: 1.50 s/frame = 5.53M segments/s; an earlier
 # 13.5M figure was measured with block_until_ready, which does not actually
@@ -72,26 +77,38 @@ def bench_fwd_bwd(scene, basis, params):
     import numpy as np
     from ray_tracer_tpu.renderer import render_frame
 
+    import jax.tree_util as jtu
+
     target = jax.lax.stop_gradient(
         render_frame(scene, basis, params, jnp.int32(1)))
 
+    # differentiate w.r.t. the float leaves only (texture ids and the like
+    # are int32 — jax.grad rejects integer inputs)
+    leaves, treedef = jtu.tree_flatten(scene)
+    is_f = [hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
+            for l in leaves]
+    float_leaves = [l for l, m in zip(leaves, is_f) if m]
+
     @jax.jit
-    def grad_step(s, frame):
-        def loss_fn(s):
-            img = render_frame(s, basis, params, frame)
+    def grad_step(fl, frame):
+        def loss_fn(fl):
+            it = iter(fl)
+            merged = [next(it) if m else l for l, m in zip(leaves, is_f)]
+            img = render_frame(jtu.tree_unflatten(treedef, merged), basis,
+                               params, frame)
             return jnp.mean((img - target) ** 2)
-        return jax.grad(loss_fn)(s)
+        return jax.grad(loss_fn)(fl)
 
     t0 = time.time()
-    g = grad_step(scene, jnp.int32(0))
+    g = grad_step(float_leaves, jnp.int32(0))
     # pull one small leaf as the sync (full pytree pull is relay-slow)
-    np.asarray(g.tri_albedo)
+    np.asarray(g[0])
     compile_s = time.time() - t0
     dt = float("inf")
     for _ in range(2):
         t0 = time.time()
-        g = grad_step(scene, jnp.int32(0))
-        np.asarray(g.tri_albedo)
+        g = grad_step(float_leaves, jnp.int32(0))
+        np.asarray(g[0])
         dt = min(dt, time.time() - t0)
     segs = (params.width * params.height * params.rays_per_pixel
             * (params.bounces + 1))
@@ -102,8 +119,13 @@ def parity_evidence():
     """On-device correctness evidence (VERDICT r1 #3): compiled Pallas vs
     jnp oracle, on the chip this benchmark runs on — a room frame (spheres
     + tris + dielectric + emissive) and a textured teapot slice (fused
-    24-row extraction + quad-gather sampling). Returns max |Δ| per case;
-    the assert makes a silent Mosaic/interpret divergence fail the bench."""
+    24-row extraction + quad-gather sampling). Reports the fraction of
+    pixels beyond tolerance; the assert makes a silent Mosaic/interpret
+    divergence fail the bench. A >0 but tiny fraction is expected: an
+    ulp-level fma difference at a silhouette pixel flips a winner tie or
+    a scatter direction and the bounce chain diverges chaotically
+    (measured: 1 pixel in 9216, with 0 primary-ray id mismatches and
+    attrs equal to 3e-6 — see docs/PERF_NOTES.md)."""
     import numpy as np
     import jax.numpy as jnp
     import ray_tracer_tpu as rt
@@ -113,12 +135,15 @@ def parity_evidence():
     out = {}
     scene, cam = rt.builtin_scene("room", aspect=1.0)
     basis = camera_basis(cam)
+    def frac_off(a, b, tol=2e-2):
+        return float((np.abs(a - b).max(-1) > tol).mean())
+
     p = rt.RenderParams(width=128, height=128, bounces=3, skybox=True)
     a = np.asarray(render_frame(scene, basis, p.replace(backend="jnp"),
                                 jnp.int32(0)))
     b = np.asarray(render_frame(scene, basis, p.replace(backend="pallas"),
                                 jnp.int32(0)))
-    out["room_128"] = float(np.abs(a - b).max())
+    out["room_128_frac_off"] = frac_off(a, b)
 
     teapot = "/root/reference/assets/the_utah_teapot.glb"
     if os.path.exists(teapot):
@@ -137,10 +162,39 @@ def parity_evidence():
                                     jnp.int32(0)))
         bb = np.asarray(render_frame(s2, b2, p2.replace(backend="pallas"),
                                      jnp.int32(0)))
-        out["teapot_tex_96"] = float(np.abs(a - bb).max())
+        out["teapot_tex_96_frac_off"] = frac_off(a, bb)
+
+        # deterministic primary-ray check (no chaotic bounce chain):
+        # compiled winner ids + fused attrs vs the jnp oracle
+        from ray_tracer_tpu.renderer import _blocked_order
+        from ray_tracer_tpu import sampling
+        from ray_tracer_tpu.camera import camera_rays
+        from ray_tracer_tpu.ops.intersect import (fused_intersect,
+                                                  nearest_hit_jnp,
+                                                  hit_attributes)
+        order, _ = _blocked_order(96, 96)
+        pids = jnp.asarray(order)
+        st = sampling.seed_state(pids, 0)
+        _, o, d = camera_rays(b2, pids % 96, pids // 96, (96, 96), st)
+        t_ref, id_ref = nearest_hit_jnp(s2, o, d, 1e-4)
+        fused = fused_intersect(s2, o, d, 1e-4, None)
+        ref = hit_attributes(s2, o, d, id_ref, jnp.isinf(t_ref), 1e-4)
+        mism = int(((np.asarray(fused.prim_id) != np.asarray(id_ref))
+                    & np.asarray(fused.hit)).sum())
+        out["teapot_primary_id_mismatches"] = mism
+        same = np.asarray(fused.hit) & (np.asarray(fused.prim_id)
+                                        == np.asarray(id_ref))
+        out["teapot_primary_attr_max_abs_diff"] = float(max(
+            np.abs(np.asarray(fused.albedo)
+                   - np.asarray(ref.albedo))[same].max(),
+            np.abs(np.asarray(fused.normal)
+                   - np.asarray(ref.normal))[same].max()))
 
     for k, v in out.items():
-        assert v < 2e-2, f"pallas/jnp divergence on device: {k} max|d|={v}"
+        if k.endswith("frac_off"):
+            assert v < 2e-3, f"pallas/jnp divergence on device: {k}={v}"
+    assert out.get("teapot_primary_id_mismatches", 0) <= 2
+    assert out.get("teapot_primary_attr_max_abs_diff", 0.0) < 1e-3
     return out
 
 
@@ -161,12 +215,16 @@ def main():
     img = np.asarray(render_progressive(scene, basis, params, frames))
     compile_s = time.time() - t0
     assert np.isfinite(img).all()
+    print(f"# fwd compile+first {compile_s:.1f}s", file=sys.stderr)
 
     dt = float("inf")
     for _ in range(2):
         t0 = time.time()
         img = np.asarray(render_progressive(scene, basis, params, frames))
         dt = min(dt, time.time() - t0)
+    print(f"# fwd {dt:.3f}s/{frames}f = "
+          f"{params.width*params.height*(params.bounces+1)*frames/dt/1e6:.1f}"
+          " M segs/s", file=sys.stderr)
 
     segments = (params.width * params.height * params.rays_per_pixel
                 * (params.bounces + 1) * frames)
@@ -174,7 +232,10 @@ def main():
     vs = (rays_per_s / BASELINE_RAYS_PER_S) if BASELINE_RAYS_PER_S else 1.0
 
     fb_rays_per_s, fb_dt, fb_compile_s = bench_fwd_bwd(scene, basis, params)
+    print(f"# fwd+bwd {fb_dt:.3f}s/step (compile {fb_compile_s:.1f}s)",
+          file=sys.stderr)
     parity = parity_evidence()
+    print(f"# parity {parity}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "rays/s/chip fwd 1080p teapot (brute force)",

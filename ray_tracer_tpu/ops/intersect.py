@@ -330,7 +330,15 @@ def occluded(scene: Scene, o, d, t_min=1e-4, backend: str = "jnp",
     o_s, d_s = jax.lax.stop_gradient(o), jax.lax.stop_gradient(d)
     scene_s = jax.lax.stop_gradient(scene)
     if backend == "pallas":
-        from .pallas_intersect import anyhit_pallas
+        from .pallas_intersect import (anyhit_pallas, env_config,
+                                       nearest_hit_pallas, _use_blocked)
+        if _use_blocked(scene_s, env_config()):
+            # the any-hit kernel keeps the whole scene VMEM-resident;
+            # over-budget scenes answer occlusion via the streaming
+            # closest-hit instead (correct, no early exit)
+            best_t, _ = nearest_hit_pallas(scene_s, o_s, d_s, t_min,
+                                           alive=alive)
+            return best_t < (1.0 - 1e-3)
         return anyhit_pallas(scene_s, o_s, d_s, t_min, t_max=1.0 - 1e-3,
                              alive=alive)
     best_t, _ = nearest_hit_jnp(scene_s, o_s, d_s, t_min)

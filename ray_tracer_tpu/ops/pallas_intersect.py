@@ -94,6 +94,15 @@ class KConfig(NamedTuple):
     tri_rows: int = 128
     step_tiles: int = 1
     traversal: str = "span"
+    # Streaming (tri-blocked) path: triangles ride a second grid dimension
+    # in blocks of ``tri_block`` rows instead of keeping the whole scene
+    # VMEM-resident — removes the ~30k-triangle VMEM cap. "auto" switches
+    # when the packed planes exceed ``vmem_tri_budget`` bytes.
+    tri_block: int = 4096
+    blocked: str = "auto"            # "auto" | "never" | "force"
+    # ~12 MB keeps the teapot (15,744 padded tris = 8 MB of lane-padded
+    # planes) on the resident fast path; anything bigger streams
+    vmem_tri_budget: int = 12 << 20
 
 
 def env_config() -> KConfig:
@@ -105,6 +114,8 @@ def env_config() -> KConfig:
         tri_rows=int(os.environ.get("RTT_TRI_ROWS", "128")),
         step_tiles=int(os.environ.get("RTT_STEP_TILES", "1")),
         traversal=os.environ.get("RTT_TRAVERSAL", "span"),
+        tri_block=int(os.environ.get("RTT_TRI_BLOCK", "4096")),
+        blocked=os.environ.get("RTT_BLOCKED", "auto"),
     )
 
 
@@ -622,6 +633,424 @@ def _nearest_hit_call(scene: Scene, o, d, t_min, alive, want_attrs,
     return t_out[0, :R], id_out[0, :R]
 
 
+def _make_blocked_kernel(SP: int, TB: int, n_blocks: int, t_min: float,
+                         tt_s: int, want_attrs: bool, cfg: KConfig,
+                         textured: bool = False):
+    """Streaming (tri-blocked) closest-hit kernel body.
+
+    Grid is (n_ray_steps, n_tri_blocks) with the TRIANGLE dimension
+    innermost (the Pallas TPU reduction pattern): for each ray step the
+    triangle planes stream through VMEM in ``TB``-row blocks while the
+    running best-(t, id) and the winner-attribute accumulator live in
+    scratch that persists across the inner sweep. Removes the whole-scene
+    VMEM residency requirement of ``_make_kernel`` (the ~30k-triangle cap)
+    at the cost of re-streaming the scene once per ray step — the
+    hierarchy levels (block AABB via its clusters' slab prepass, then
+    cluster culling, both tightened by the running best-t from earlier
+    blocks and the k==0 sphere fold) keep the COMPUTE proportional to
+    what actually enters each tile's frustum.
+
+    Winner attributes are extracted incrementally: after folding block k,
+    lanes whose winner id lies in block k are zeroed and re-accumulated
+    from this block's one-hot masked sums (sphere winners are extracted
+    at k==0 and survive unless beaten).
+    """
+    RT, csize = cfg.rt, cfg.cluster
+    tri_sub = min(cfg.tri_rows, csize)
+    n_sph_chunks = SP // tt_s
+    AR = 24 if textured else 16
+
+    def kernel(ray_ref, sph_ref, tri_ref, clu_ref, *outs_and_scratch):
+        if want_attrs:
+            (t_out, id_out, attr_out, bt_ref, bi_ref, flag_ref,
+             acc_ref) = outs_and_scratch
+        else:
+            t_out, id_out, bt_ref, bi_ref, flag_ref = outs_and_scratch
+        k = pl.program_id(1)
+        lo_gid = jnp.int32(SP) + k * jnp.int32(TB)
+
+        def one_tile(L: int):
+            lanes = slice(L, L + RT)
+            ox, oy, oz = (ray_ref[0:1, lanes], ray_ref[1:2, lanes],
+                          ray_ref[2:3, lanes])
+            dx, dy, dz = (ray_ref[3:4, lanes], ray_ref[4:5, lanes],
+                          ray_ref[5:6, lanes])
+            alive = ray_ref[6:7, lanes] > 0.5
+            a_quad = dx * dx + dy * dy + dz * dz
+            invdx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
+            invdy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
+            invdz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
+
+            @pl.when(k == 0)
+            def _():
+                bt_ref[0:1, lanes] = jnp.full((1, RT), jnp.inf, jnp.float32)
+                bi_ref[0:1, lanes] = jnp.full((1, RT), BIG_ID, jnp.int32)
+                if want_attrs:
+                    acc_ref[:, lanes] = jnp.zeros((AR, RT), jnp.float32)
+
+            def sphere_chunk(kk, carry):
+                s = kk * tt_s
+                cx = sph_ref[pl.ds(s, tt_s), 0:1]
+                cy = sph_ref[pl.ds(s, tt_s), 1:2]
+                cz = sph_ref[pl.ds(s, tt_s), 2:3]
+                r2 = sph_ref[pl.ds(s, tt_s), 3:4]
+                vld = sph_ref[pl.ds(s, tt_s), 4:5]
+                ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+                b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+                c = ocx * ocx + ocy * ocy + ocz * ocz - r2
+                disc = b * b - 4.0 * a_quad * c
+                t = (-b - jnp.sqrt(jnp.maximum(disc, 0.0))) / (2.0 * a_quad)
+                valid = (disc >= 0.0) & (t >= t_min) & (vld > 0.5) & alive
+                ids = (jax.lax.broadcasted_iota(jnp.int32, (tt_s, RT), 0)
+                       + jnp.int32(s))
+                t_m = jnp.where(valid, t, jnp.inf)
+                cmin = jnp.min(t_m, axis=0, keepdims=True)
+                cid = jnp.min(jnp.where(t_m == cmin, ids, BIG_ID), axis=0,
+                              keepdims=True)
+                best_t = bt_ref[0:1, lanes]
+                better = cmin < best_t
+                bt_ref[0:1, lanes] = jnp.where(better, cmin, best_t)
+                bi_ref[0:1, lanes] = jnp.where(better, cid,
+                                               bi_ref[0:1, lanes])
+                return carry
+
+            def tri_rows(s, rows):
+                ax = tri_ref[pl.ds(s, rows), 0:1]
+                ay = tri_ref[pl.ds(s, rows), 1:2]
+                az = tri_ref[pl.ds(s, rows), 2:3]
+                e1x = tri_ref[pl.ds(s, rows), 3:4]
+                e1y = tri_ref[pl.ds(s, rows), 4:5]
+                e1z = tri_ref[pl.ds(s, rows), 5:6]
+                e2x = tri_ref[pl.ds(s, rows), 6:7]
+                e2y = tri_ref[pl.ds(s, rows), 7:8]
+                e2z = tri_ref[pl.ds(s, rows), 8:9]
+                nx = tri_ref[pl.ds(s, rows), 9:10]
+                ny = tri_ref[pl.ds(s, rows), 10:11]
+                nz = tri_ref[pl.ds(s, rows), 11:12]
+                aox, aoy, aoz = ox - ax, oy - ay, oz - az
+                det = -(dx * nx + dy * ny + dz * nz)
+                t_num = aox * nx + aoy * ny + aoz * nz
+                daox = aoy * dz - aoz * dy
+                daoy = aoz * dx - aox * dz
+                daoz = aox * dy - aoy * dx
+                u_num = e2x * daox + e2y * daoy + e2z * daoz
+                v_num = -(e1x * daox + e1y * daoy + e1z * daoz)
+                inv = 1.0 / det
+                t = t_num * inv
+                u = u_num * inv
+                v = v_num * inv
+                valid = ((det >= TRI_DET_EPS) & (t >= t_min)
+                         & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & alive)
+                ids = (jax.lax.broadcasted_iota(jnp.int32, (rows, RT), 0)
+                       + (lo_gid + s))
+                t_m = jnp.where(valid, t, jnp.inf)
+                cmin = jnp.min(t_m, axis=0, keepdims=True)
+                cid = jnp.min(jnp.where(t_m == cmin, ids, BIG_ID), axis=0,
+                              keepdims=True)
+                best_t = bt_ref[0:1, lanes]
+                better = cmin < best_t
+                bt_ref[0:1, lanes] = jnp.where(better, cmin, best_t)
+                bi_ref[0:1, lanes] = jnp.where(better, cid,
+                                               bi_ref[0:1, lanes])
+
+            def cluster_prepass():
+                C = clu_ref.shape[0]
+                lox, loy, loz = (clu_ref[:, 0:1], clu_ref[:, 1:2],
+                                 clu_ref[:, 2:3])
+                hix, hiy, hiz = (clu_ref[:, 3:4], clu_ref[:, 4:5],
+                                 clu_ref[:, 5:6])
+                t1x, t2x = (lox - ox) * invdx, (hix - ox) * invdx
+                t1y, t2y = (loy - oy) * invdy, (hiy - oy) * invdy
+                t1z, t2z = (loz - oz) * invdz, (hiz - oz) * invdz
+                tn = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                             jnp.minimum(t1y, t2y)),
+                                 jnp.maximum(jnp.minimum(t1z, t2z), t_min))
+                tf = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                             jnp.maximum(t1y, t2y)),
+                                 jnp.maximum(t1z, t2z))
+                enter = (tf >= tn) & alive & (tn < bt_ref[0:1, lanes])
+                flag = jnp.max(jnp.where(enter, 1, 0), axis=1, keepdims=True)
+                flag_ref[:, :] = jnp.broadcast_to(flag, flag_ref.shape)
+                cidx = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+                first = jnp.min(jnp.where(flag > 0, cidx, C))
+                last = jnp.max(jnp.where(flag > 0, cidx, -1))
+                return first, last
+
+            def span_body(c, carry):
+                @pl.when(flag_ref[c, 0] > 0)
+                def _():
+                    for r0 in range(0, csize, tri_sub):
+                        tri_rows(c * csize + r0, tri_sub)
+                return carry
+
+            @pl.when(jnp.any(alive))
+            def _():
+                @pl.when(k == 0)
+                def _():
+                    jax.lax.fori_loop(0, n_sph_chunks, sphere_chunk, 0)
+                # per-block cluster prepass; an all-culled block (first >
+                # last) never touches its triangles — the block level of
+                # the hierarchy
+                first, last = cluster_prepass()
+                jax.lax.fori_loop(first, last + 1, span_body, 0)
+
+            if want_attrs:
+                best_id_v = bi_ref[0:1, lanes]
+                best_t_v = jnp.where(jnp.isinf(bt_ref[0:1, lanes]), 0.0,
+                                     bt_ref[0:1, lanes])
+                pxw = ox + best_t_v * dx
+                pyw = oy + best_t_v * dy
+                pzw = oz + best_t_v * dz
+
+                def sph_extract(kk, carry):
+                    sbase = kk * tt_s
+                    ids = (jax.lax.broadcasted_iota(
+                        jnp.int32, (tt_s, RT), 0) + jnp.int32(sbase))
+                    m = (ids == best_id_v).astype(jnp.float32)
+                    cx = sph_ref[pl.ds(sbase, tt_s), 0:1]
+                    cy = sph_ref[pl.ds(sbase, tt_s), 1:2]
+                    cz = sph_ref[pl.ds(sbase, tt_s), 2:3]
+                    r2 = sph_ref[pl.ds(sbase, tt_s), 3:4]
+                    inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-20))
+                    ok = m > 0
+                    acc_ref[0:1, lanes] += jnp.sum(
+                        jnp.where(ok, (pxw - cx) * inv_r, 0.0), 0,
+                        keepdims=True)
+                    acc_ref[1:2, lanes] += jnp.sum(
+                        jnp.where(ok, (pyw - cy) * inv_r, 0.0), 0,
+                        keepdims=True)
+                    acc_ref[2:3, lanes] += jnp.sum(
+                        jnp.where(ok, (pzw - cz) * inv_r, 0.0), 0,
+                        keepdims=True)
+                    for row, col in ((3, 5), (4, 6), (5, 7),
+                                     (6, 8), (7, 9), (8, 10),
+                                     (9, 11), (10, 12)):
+                        acc_ref[row:row + 1, lanes] += jnp.sum(
+                            jnp.where(ok, sph_ref[pl.ds(sbase, tt_s),
+                                                  col:col + 1], 0.0),
+                            0, keepdims=True)
+                    if textured:
+                        m_neg = jnp.sum(jnp.where(ok, -1.0, 0.0), 0,
+                                        keepdims=True)
+                        acc_ref[13:14, lanes] += m_neg
+                        acc_ref[14:15, lanes] += m_neg
+                    return carry
+
+                def tri_extract(c, carry):
+                    lo_id = lo_gid + c * csize
+                    in_chunk = ((best_id_v >= lo_id)
+                                & (best_id_v < lo_id + csize))
+
+                    @pl.when(jnp.any(in_chunk))
+                    def _():
+                        sl = pl.ds(c * csize, csize)
+                        ax, ay, az = (tri_ref[sl, 0:1], tri_ref[sl, 1:2],
+                                      tri_ref[sl, 2:3])
+                        e1x, e1y, e1z = (tri_ref[sl, 3:4], tri_ref[sl, 4:5],
+                                         tri_ref[sl, 5:6])
+                        e2x, e2y, e2z = (tri_ref[sl, 6:7], tri_ref[sl, 7:8],
+                                         tri_ref[sl, 8:9])
+                        nx, ny, nz = (tri_ref[sl, 9:10], tri_ref[sl, 10:11],
+                                      tri_ref[sl, 11:12])
+                        aox, aoy, aoz = ox - ax, oy - ay, oz - az
+                        det = -(dx * nx + dy * ny + dz * nz)
+                        daox = aoy * dz - aoz * dy
+                        daoy = aoz * dx - aox * dz
+                        daoz = aox * dy - aoy * dx
+                        inv = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30,
+                                              det)
+                        u = (e2x * daox + e2y * daoy + e2z * daoz) * inv
+                        v = -(e1x * daox + e1y * daoy + e1z * daoz) * inv
+                        w = 1.0 - u - v
+                        ids = (jax.lax.broadcasted_iota(
+                            jnp.int32, (csize, RT), 0) + lo_id)
+                        m = (ids == best_id_v).astype(jnp.float32)
+                        for row, (c0, c1, c2) in enumerate(
+                                ((12, 15, 18), (13, 16, 19), (14, 17, 20))):
+                            blend = (w * tri_ref[sl, c0:c0 + 1]
+                                     + u * tri_ref[sl, c1:c1 + 1]
+                                     + v * tri_ref[sl, c2:c2 + 1])
+                            acc_ref[row:row + 1, lanes] += jnp.sum(
+                                jnp.where(m > 0, blend, 0.0), 0,
+                                keepdims=True)
+                        for row, col in ((3, 21), (4, 22), (5, 23),
+                                         (6, 24), (7, 25), (8, 26),
+                                         (9, 27), (10, 28)):
+                            acc_ref[row:row + 1, lanes] += jnp.sum(
+                                jnp.where(m > 0, tri_ref[sl, col:col + 1],
+                                          0.0),
+                                0, keepdims=True)
+                        if textured:
+                            for row, (c0, c1, c2) in ((11, (32, 34, 36)),
+                                                      (12, (33, 35, 37))):
+                                uvb = (w * tri_ref[sl, c0:c0 + 1]
+                                       + u * tri_ref[sl, c1:c1 + 1]
+                                       + v * tri_ref[sl, c2:c2 + 1])
+                                acc_ref[row:row + 1, lanes] += jnp.sum(
+                                    jnp.where(m > 0, uvb, 0.0), 0,
+                                    keepdims=True)
+                            for row, col in ((13, 44), (14, 45),
+                                             (15, 38), (16, 39), (17, 40),
+                                             (18, 41), (19, 42), (20, 43)):
+                                acc_ref[row:row + 1, lanes] += jnp.sum(
+                                    jnp.where(m > 0,
+                                              tri_ref[sl, col:col + 1], 0.0),
+                                    0, keepdims=True)
+                    return carry
+
+                # incremental: lanes whose winner lives in THIS block are
+                # zeroed and re-extracted; everyone else's attrs persist
+                updated = ((best_id_v >= lo_gid)
+                           & (best_id_v < lo_gid + jnp.int32(TB)))
+                has_sph_win = (best_id_v < jnp.int32(SP)) & (k == 0)
+
+                @pl.when(jnp.any(alive) & (jnp.any(updated)
+                                           | jnp.any(has_sph_win)))
+                def _():
+                    upd_f = updated.astype(jnp.float32)        # (1, RT)
+                    acc_ref[:, lanes] = jnp.where(
+                        jnp.broadcast_to(upd_f > 0, (AR, RT)),
+                        0.0, acc_ref[:, lanes])
+
+                    @pl.when(jnp.any(has_sph_win))
+                    def _():
+                        jax.lax.fori_loop(0, n_sph_chunks, sph_extract, 0)
+
+                    @pl.when(jnp.any(updated))
+                    def _():
+                        is_tw = updated
+                        c_lo = (jnp.min(jnp.where(is_tw, best_id_v,
+                                                  lo_gid + TB))
+                                - lo_gid) // csize
+                        c_hi = (jnp.max(jnp.where(is_tw, best_id_v, lo_gid))
+                                - lo_gid) // csize
+                        jax.lax.fori_loop(c_lo, jnp.minimum(
+                            c_hi + 1, TB // csize), tri_extract, 0)
+
+                @pl.when(k == n_blocks - 1)
+                def _():
+                    attr_out[:, lanes] = acc_ref[:, lanes]
+
+            @pl.when(k == n_blocks - 1)
+            def _():
+                best_t, best_id = bt_ref[0:1, lanes], bi_ref[0:1, lanes]
+                t_out[:, lanes] = jnp.broadcast_to(best_t, (8, RT))
+                id_out[:, lanes] = jnp.broadcast_to(
+                    jnp.where(best_id == BIG_ID, jnp.int32(0), best_id),
+                    (8, RT))
+
+        for s in range(cfg.step_tiles):
+            one_tile(s * RT)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("t_min", "want_attrs",
+                                             "interpret", "cfg"))
+def _nearest_hit_blocked_call(scene: Scene, o, d, t_min, alive, want_attrs,
+                              interpret, cfg: KConfig):
+    R = o.shape[0]
+    SP, TP = scene.padded_spheres, scene.padded_tris
+    tt_s = min(SPH_TT, SP)
+    if TP % cfg.cluster != 0:
+        cfg = cfg._replace(cluster=128)
+    csize, RT = cfg.cluster, cfg.rt
+    TB = max(csize, (cfg.tri_block // csize) * csize)
+
+    step = RT * cfg.step_tiles
+    n_steps = -(-R // step)
+    Rp = n_steps * step
+    alive_f = (jnp.ones((R,), jnp.float32) if alive is None
+               else alive.astype(jnp.float32))
+    rays = jnp.concatenate([o, d, alive_f[:, None]], axis=1).T
+    rays = jnp.pad(rays, ((0, 1), (0, Rp - R)))
+
+    textured = want_attrs and scene.num_textures > 0
+    sph = _pack_spheres(scene)
+    tri = _pack_tris(scene, textured)
+    clu = _cluster_aabbs(scene, csize)
+    TPp = -(-TP // TB) * TB
+    if TPp != TP:
+        # zero geometry rows → det 0 → never valid; ±inf cluster AABBs →
+        # never entered
+        tri = jnp.pad(tri, ((0, TPp - TP), (0, 0)))
+        pad_c = (TPp - TP) // csize
+        clu = jnp.concatenate([
+            clu,
+            jnp.concatenate([jnp.full((pad_c, 3), jnp.inf, jnp.float32),
+                             jnp.full((pad_c, 3), -jnp.inf, jnp.float32),
+                             jnp.zeros((pad_c, 2), jnp.float32)], axis=1),
+        ], axis=0)
+    n_blocks = TPp // TB
+    TW = tri.shape[1]
+    AR = 24 if textured else 16
+
+    kernel = _make_blocked_kernel(SP, TB, n_blocks, float(t_min), tt_s,
+                                  want_attrs, cfg, textured)
+    out_specs = [
+        pl.BlockSpec((8, step), lambda i, k: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, step), lambda i, k: (0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((8, Rp), jnp.float32),
+        jax.ShapeDtypeStruct((8, Rp), jnp.int32),
+    ]
+    scratch = [
+        pltpu.VMEM((8, step), jnp.float32),   # running best t
+        pltpu.VMEM((8, step), jnp.int32),     # running best prim id
+        pltpu.VMEM((TB // csize, 128), jnp.int32),  # cluster-enter flags
+    ]
+    if want_attrs:
+        out_specs.append(pl.BlockSpec((AR, step), lambda i, k: (0, i),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((AR, Rp), jnp.float32))
+        scratch.append(pltpu.VMEM((AR, step), jnp.float32))
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_steps, n_blocks),
+        in_specs=[
+            pl.BlockSpec((8, step), lambda i, k: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SP, 16), lambda i, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, TW), lambda i, k: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB // csize, 8), lambda i, k: (k, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=Rp * (SP * 25 + TPp * 45),
+            bytes_accessed=(Rp * 8 * 4 + SP * 64
+                            + n_steps * TPp * 128 * 4 + Rp * 8),
+            transcendentals=0,
+        ),
+    )(rays, sph, tri, clu)
+
+    if want_attrs:
+        t_out, id_out, attr_out = outs
+        return t_out[0, :R], id_out[0, :R], attr_out[:, :R].T
+    t_out, id_out = outs
+    return t_out[0, :R], id_out[0, :R]
+
+
+def _use_blocked(scene: Scene, cfg: KConfig) -> bool:
+    """Streaming path selection: the packed triangle planes cost
+    TP × 128 lanes × 4 B of VMEM (lane padding); past the budget the
+    resident kernel can't fit and the blocked kernel takes over."""
+    if cfg.blocked == "never":
+        return False
+    if cfg.blocked == "force":
+        return True
+    return scene.padded_tris * 128 * 4 > cfg.vmem_tri_budget
+
+
 def _make_anyhit_kernel(SP: int, TP: int, t_min: float, t_max: float,
                         tt_s: int, cfg: KConfig):
     """Occlusion (shadow-ray) kernel: is ANY primitive in (t_min, t_max)
@@ -832,11 +1261,15 @@ def nearest_hit_pallas(scene: Scene, o, d, t_min=1e-4, alive=None,
     convention); R is padded to a multiple of the grid step internally.
     ``alive`` ((R,) bool, optional) marks live wavefront lanes — dead lanes
     return miss and cost (nearly) nothing once sorted into whole-dead
-    tiles. ``cfg`` overrides the RTT_* env knobs (see KConfig).
+    tiles. ``cfg`` overrides the RTT_* env knobs (see KConfig). Scenes
+    whose packed planes exceed the VMEM budget stream through the
+    tri-blocked kernel automatically (KConfig.blocked).
     """
-    return _nearest_hit_call(scene, o, d, t_min, alive, False,
-                             _auto_interpret(interpret),
-                             cfg or env_config())
+    cfg = cfg or env_config()
+    call = (_nearest_hit_blocked_call if _use_blocked(scene, cfg)
+            else _nearest_hit_call)
+    return call(scene, o, d, t_min, alive, False,
+                _auto_interpret(interpret), cfg)
 
 
 def nearest_hit_attrs_pallas(scene: Scene, o, d, t_min=1e-4, alive=None,
@@ -850,6 +1283,8 @@ def nearest_hit_attrs_pallas(scene: Scene, o, d, t_min=1e-4, alive=None,
     winner-gather (hit_attributes) on the forward path; see
     intersect.fused_intersect for the custom_vjp that keeps training
     differentiable."""
-    return _nearest_hit_call(scene, o, d, t_min, alive, True,
-                             _auto_interpret(interpret),
-                             cfg or env_config())
+    cfg = cfg or env_config()
+    call = (_nearest_hit_blocked_call if _use_blocked(scene, cfg)
+            else _nearest_hit_call)
+    return call(scene, o, d, t_min, alive, True,
+                _auto_interpret(interpret), cfg)

@@ -1,0 +1,167 @@
+"""Streaming (tri-blocked) kernel vs the jnp oracle.
+
+The blocked kernel (pallas_intersect._make_blocked_kernel) streams the
+triangle planes through a second grid dimension instead of keeping the
+whole scene VMEM-resident; these tests force it on tiny scenes with a
+small tri_block so several blocks are exercised, including winner
+replacement across blocks and the incremental attribute extraction.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import ray_tracer_tpu as rt
+from ray_tracer_tpu.ops.intersect import (fused_intersect, hit_attributes,
+                                          nearest_hit_jnp)
+from ray_tracer_tpu.ops.pallas_intersect import (KConfig,
+                                                 nearest_hit_attrs_pallas,
+                                                 nearest_hit_pallas)
+
+INTERPRET = jax.default_backend() != "tpu"
+
+# 128-tri clusters, 128-tri blocks -> every cluster is its own block;
+# forces the multi-block path on any scene with >128 padded tris
+BLOCKED_CFG = KConfig(tri_block=128, blocked="force")
+
+
+def _random_rays(n, seed=0, spread=6.0):
+    rng = np.random.default_rng(seed)
+    o = jnp.asarray(rng.normal(size=(n, 3)) * spread, jnp.float32)
+    d = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    return o, d
+
+
+def _mesh_scene(n_tris=300, seed=3, with_spheres=True):
+    rng = np.random.default_rng(seed)
+    b = rt.SceneBuilder()
+    for _ in range(n_tris):
+        c = rng.normal(size=3) * 4.0
+        v = c + rng.normal(size=(3, 3))
+        n = np.cross(v[1] - v[0], v[2] - v[0])
+        n /= max(np.linalg.norm(n), 1e-9)
+        b.add_mesh([tuple(x) for x in v], [tuple(n)] * 3, [0, 1, 2],
+                   albedo=tuple(rng.random(3)),
+                   smoothness=float(rng.random()))
+    if with_spheres:
+        for _ in range(6):
+            b.add_sphere(tuple(rng.normal(size=3) * 4.0),
+                         0.5 + rng.random(),
+                         albedo=tuple(rng.random(3)))
+    return b.build(pad=128)
+
+
+def _check_t_id(scene, o, d, cfg):
+    t_ref, id_ref = nearest_hit_jnp(scene, o, d, 1e-4)
+    t_blk, id_blk = nearest_hit_pallas(scene, o, d, 1e-4,
+                                       interpret=INTERPRET, cfg=cfg)
+    t_ref, t_blk = np.asarray(t_ref), np.asarray(t_blk)
+    hit_ref, hit_blk = np.isfinite(t_ref), np.isfinite(t_blk)
+    np.testing.assert_array_equal(hit_ref, hit_blk)
+    np.testing.assert_allclose(t_blk[hit_blk], t_ref[hit_ref], rtol=3e-4,
+                               atol=1e-5)
+    diff = (np.asarray(id_blk) != np.asarray(id_ref)) & hit_ref
+    if diff.any():  # id ties must be t-equivalent
+        np.testing.assert_allclose(t_blk[diff], t_ref[diff], rtol=3e-4)
+
+
+def test_blocked_matches_oracle_multiblock():
+    scene = _mesh_scene(300)  # 384 padded tris = 3 blocks of 128
+    assert scene.padded_tris // 128 >= 3
+    _check_t_id(scene, *_random_rays(384, seed=11, spread=8.0), BLOCKED_CFG)
+
+
+def test_blocked_matches_resident_kernel():
+    """force-blocked and resident kernels agree on the same scene."""
+    scene = _mesh_scene(300)
+    o, d = _random_rays(256, seed=12, spread=8.0)
+    t_a, id_a = nearest_hit_pallas(scene, o, d, interpret=INTERPRET,
+                                   cfg=KConfig(blocked="never"))
+    t_b, id_b = nearest_hit_pallas(scene, o, d, interpret=INTERPRET,
+                                   cfg=BLOCKED_CFG)
+    np.testing.assert_allclose(np.asarray(t_a), np.asarray(t_b), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(id_a), np.asarray(id_b))
+
+
+def test_blocked_attrs_winner_replacement():
+    """Winner attributes must follow the winner even when a later block
+    beats an earlier block's (or a sphere's) best hit."""
+    scene = _mesh_scene(300, seed=5)
+    o, d = _random_rays(384, seed=13, spread=8.0)
+    t, pid, attrs = nearest_hit_attrs_pallas(scene, o, d,
+                                             interpret=INTERPRET,
+                                             cfg=BLOCKED_CFG)
+    t_ref, id_ref = nearest_hit_jnp(scene, o, d, 1e-4)
+    ref = hit_attributes(scene, o, d, id_ref, jnp.isinf(t_ref), 1e-4)
+    m = np.asarray(ref.hit)
+    assert m.sum() > 30
+    # normals: blocked kernel emits the unnormalized barycentric blend
+    a_n = np.asarray(attrs[:, 0:3])
+    a_n = a_n / np.maximum(np.linalg.norm(a_n, axis=1, keepdims=True), 1e-12)
+    ref_n = np.asarray(ref.normal)
+    np.testing.assert_allclose(np.abs((a_n[m] * ref_n[m]).sum(1)), 1.0,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(attrs[:, 3:6])[m],
+                               np.asarray(ref.albedo)[m], rtol=5e-4,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(attrs[:, 10])[m],
+                               np.asarray(ref.smoothness)[m], rtol=5e-4,
+                               atol=2e-5)
+
+
+def test_blocked_alive_mask_and_padding():
+    """Dead lanes return miss; ray counts that don't divide the step pad
+    correctly; an all-dead call survives."""
+    scene = _mesh_scene(150, seed=6, with_spheres=False)
+    o, d = _random_rays(200, seed=14, spread=8.0)  # 200 % 128 != 0
+    alive = jnp.asarray(np.arange(200) % 3 != 0)
+    t, pid = nearest_hit_pallas(scene, o, d, alive=alive,
+                                interpret=INTERPRET, cfg=BLOCKED_CFG)
+    assert np.isinf(np.asarray(t)[~np.asarray(alive)]).all()
+    t_ref, _ = nearest_hit_jnp(scene, o, d, 1e-4)
+    live = np.asarray(alive) & np.isfinite(np.asarray(t_ref))
+    np.testing.assert_allclose(np.asarray(t)[live], np.asarray(t_ref)[live],
+                               rtol=3e-4, atol=1e-5)
+    t0, _ = nearest_hit_pallas(scene, o, d, alive=jnp.zeros(200, bool),
+                               interpret=INTERPRET, cfg=BLOCKED_CFG)
+    assert np.isinf(np.asarray(t0)).all()
+
+
+def test_blocked_textured_fused():
+    """fused_intersect through the blocked kernel on a textured scene:
+    24-row incremental extraction + outside texture fetch must match the
+    hit_attributes oracle."""
+    rng = np.random.default_rng(21)
+    b = rt.SceneBuilder()
+    tex = rng.random((8, 8, 3)).astype(np.float32)
+    ti = b.add_texture(tex, srgb=False)
+    for k in range(140):  # >128 so the textured planes span 2 blocks
+        c = rng.normal(size=3) * 3.0
+        v = c + rng.normal(size=(3, 3))
+        n = np.cross(v[1] - v[0], v[2] - v[0])
+        n /= max(np.linalg.norm(n), 1e-9)
+        b.add_mesh([tuple(x) for x in v], [tuple(n)] * 3, [0, 1, 2],
+                   albedo=(1.0, 0.9, 0.8), smoothness=0.2,
+                   uvs=[(0, 0), (1, 0), (0, 1)], tex=ti)
+    scene = b.build(pad=128)
+    assert scene.padded_tris >= 256 and scene.num_textures == 1
+    # origins inside the triangle cloud -> plenty of hit lanes
+    o, d = _random_rays(256, seed=15, spread=1.0)
+
+    import ray_tracer_tpu.ops.pallas_intersect as pi
+    import os
+    os.environ["RTT_BLOCKED"] = "force"
+    os.environ["RTT_TRI_BLOCK"] = "128"
+    try:
+        fused = fused_intersect(scene, o, d, 1e-4, None)
+    finally:
+        del os.environ["RTT_BLOCKED"], os.environ["RTT_TRI_BLOCK"]
+    t_ref, pid = nearest_hit_jnp(scene, o, d, 1e-4)
+    ref = hit_attributes(scene, o, d, pid, jnp.isinf(t_ref), 1e-4)
+    m = np.asarray(ref.hit)
+    assert m.sum() > 30
+    np.testing.assert_array_equal(np.asarray(fused.hit), m)
+    for field in ("normal", "albedo", "t"):
+        np.testing.assert_allclose(np.asarray(getattr(fused, field))[m],
+                                   np.asarray(getattr(ref, field))[m],
+                                   rtol=5e-4, atol=2e-5, err_msg=field)

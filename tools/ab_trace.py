@@ -63,17 +63,34 @@ def timeit(label, fn, *args):
 
 
 def make_variant(scene, bounces, *, do_scatter=True, do_env=True,
-                 do_radiance=True, do_intersect=True):
-    """A stripped copy of renderer.trace's bounce loop (no nee/compaction)."""
+                 do_radiance=True, do_intersect=True, carries=False,
+                 via_intersect=False):
+    """A stripped copy of renderer.trace's bounce loop (no nee/compaction).
+
+    carries=True adds trace()'s extra machinery (slot + emission_ok scan
+    carries, seg_index xs array) to isolate its cost; via_intersect=True
+    swaps the direct fused_intersect call for the intersect() wrapper."""
+    from ray_tracer_tpu.ops.intersect import intersect as intersect_wrap
 
     def fn(o, d, state):
         zero3 = o * 0.0
+        R = o.shape[0]
         init = (o, d, zero3 + 1.0, zero3, zero3[:, 0] == 0.0, state)
+        if carries:
+            init = init + (zero3[:, 0] == 0.0,
+                           state * 0 + jnp.arange(R, dtype=jnp.uint32))
 
-        def bounce(carry, _):
-            o, d, thr, inc, alive, state = carry
+        def bounce(carry, seg_index):
+            if carries:
+                o, d, thr, inc, alive, state, eok, slot = carry
+            else:
+                o, d, thr, inc, alive, state = carry
             if do_intersect:
-                h = fused_intersect(scene, o, d, 1e-4, alive)
+                if via_intersect:
+                    h = intersect_wrap(scene, o, d, t_min=1e-4,
+                                       backend="pallas", alive=alive)
+                else:
+                    h = fused_intersect(scene, o, d, 1e-4, alive)
                 active_hit = alive & h.hit
                 point, normal, smooth = h.point, h.normal, h.smoothness
                 albedo, emitted = h.albedo, h.emission * h.emission_strength[:, None]
@@ -97,11 +114,16 @@ def make_variant(scene, bounces, *, do_scatter=True, do_env=True,
                                           environment_light(d) * thr, 0.0)
             o = jnp.where(active_hit[:, None], point, o)
             d = jnp.where(active_hit[:, None], new_dir, d)
+            if carries:
+                return (o, d, thr, inc, active_hit, state, eok, slot), None
             return (o, d, thr, inc, active_hit, state), None
 
-        (o, d, thr, inc, alive, state), _ = jax.lax.scan(
-            bounce, init, None, length=bounces + 1)
-        return inc
+        if carries:
+            out, _ = jax.lax.scan(
+                bounce, init, jnp.arange(bounces + 1, dtype=jnp.int32))
+        else:
+            out, _ = jax.lax.scan(bounce, init, None, length=bounces + 1)
+        return out[3]
     return fn
 
 
@@ -129,6 +151,9 @@ def main():
 
     variants = {
         "full": make_variant(scene, 3),
+        "fullcarry": make_variant(scene, 3, carries=True),
+        "fullwrap": make_variant(scene, 3, via_intersect=True),
+        "fullboth": make_variant(scene, 3, carries=True, via_intersect=True),
         "fullb1": make_variant(scene, 1),
         "nointersect": make_variant(scene, 3, do_intersect=False),
         "noscatter": make_variant(scene, 3, do_scatter=False),
