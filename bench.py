@@ -207,7 +207,12 @@ def main():
     scene, cam, params = build_workload()
     basis = camera_basis(cam.replace(aspect=params.aspect))
 
-    frames = int(os.environ.get("BENCH_FRAMES", "8"))
+    # 32 frames: the image pull through the tunneled backend costs a
+    # constant ~0.7 s per timing call (25 MB relay transfer — measured:
+    # render_frame is 107 ms/frame device-side while an 8-frame timing
+    # call took 1.54 s); more on-device frames per pull approaches the
+    # true device rate, and progressive accumulation IS the workload.
+    frames = int(os.environ.get("BENCH_FRAMES", "32"))
     # One compiled program reused for warmup + timing; full image pull as
     # the sync (block_until_ready is unreliable through tunneled TPU
     # backends); min over trials rejects transient relay stalls.

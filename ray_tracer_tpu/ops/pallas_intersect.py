@@ -77,7 +77,9 @@ class KConfig(NamedTuple):
                 ≈ 30·(rows·rt/1024) vregs.
     step_tiles: cull tiles per grid step. >1 amortizes per-grid-step fixed
                 cost (DMA + pipeline orchestration) over more rays without
-                coarsening the culling tile.
+                coarsening the culling tile. Default 4: −7% frame time on
+                the untextured teapot trace, −2% textured (measured solo;
+                the all-dead launch floor is 10.5 ms at step_tiles=1).
     traversal:  cluster visit order —
                 "span":      ascending sweep of the entering-cluster Morton
                              span, flag-gated per cluster,
@@ -112,7 +114,7 @@ def env_config() -> KConfig:
         rt=int(os.environ.get("RTT_RT", "128")),
         cluster=int(os.environ.get("RTT_CLUSTER", "128")),
         tri_rows=int(os.environ.get("RTT_TRI_ROWS", "128")),
-        step_tiles=int(os.environ.get("RTT_STEP_TILES", "1")),
+        step_tiles=int(os.environ.get("RTT_STEP_TILES", "4")),
         traversal=os.environ.get("RTT_TRAVERSAL", "span"),
         tri_block=int(os.environ.get("RTT_TRI_BLOCK", "4096")),
         blocked=os.environ.get("RTT_BLOCKED", "auto"),

@@ -64,7 +64,7 @@ def timeit(label, fn, *args):
 
 def make_variant(scene, bounces, *, do_scatter=True, do_env=True,
                  do_radiance=True, do_intersect=True, carries=False,
-                 via_intersect=False):
+                 via_intersect=False, share_tile=0, sum_t=False):
     """A stripped copy of renderer.trace's bounce loop (no nee/compaction).
 
     carries=True adds trace()'s extra machinery (slot + emission_ok scan
@@ -102,10 +102,14 @@ def make_variant(scene, bounces, *, do_scatter=True, do_env=True,
             active_miss = alive & ~active_hit
             if do_scatter:
                 state, new_dir, is_diel = materials.scatter(
-                    state, d, normal, smooth)
+                    state, d, normal, smooth, share_tile=share_tile)
                 alb = jnp.where(is_diel[:, None], 1.0, albedo)
             else:
                 new_dir, alb = -d, albedo
+            if sum_t:
+                # keep the intersection un-DCE'd without any shading math
+                inc = inc + jnp.where(active_hit[:, None],
+                                      point - o, 0.0)
             if do_radiance:
                 inc = inc + jnp.where(active_hit[:, None], emitted * thr, 0.0)
                 thr = jnp.where(active_hit[:, None], thr * alb, thr)
@@ -131,9 +135,11 @@ def main():
     open("/tmp/ab_trace.log", "w").close()
     specs = sys.argv[2:] or ["full", "nointersect", "noscatter", "noenv",
                              "intersectonly", "fullb1"]
+    import os
     b = rt.SceneBuilder()
     load_model("/root/reference/assets/the_utah_teapot.glb", b,
-               placement="origin", albedo=(0.7, 0.5, 0.3), smoothness=0.3)
+               placement="origin", albedo=(0.7, 0.5, 0.3), smoothness=0.3,
+               use_textures=os.environ.get("AB_TEX", "1") == "1")
     lo, hi = b.bounds()
     scene = b.build()
     center, ext = (lo + hi) / 2, float(np.linalg.norm(hi - lo))
@@ -151,6 +157,11 @@ def main():
 
     variants = {
         "full": make_variant(scene, 3),
+        "fullcoh": make_variant(scene, 3, share_tile=128),
+        "isumt": make_variant(scene, 3, do_scatter=False, do_env=False,
+                              do_radiance=False, sum_t=True),
+        "isumtcoh": make_variant(scene, 3, do_env=False, do_radiance=False,
+                                 sum_t=True, share_tile=128),
         "fullcarry": make_variant(scene, 3, carries=True),
         "fullwrap": make_variant(scene, 3, via_intersect=True),
         "fullboth": make_variant(scene, 3, carries=True, via_intersect=True),
@@ -169,6 +180,16 @@ def main():
             scene, o, d, s, rt.RenderParams(width=W, height=H, bounces=3,
                                             skybox=True, backend="pallas",
                                             coherent_scatter=True))[1],
+        # the whole frame path (camera rays + trace + unblock), bench
+        # params; frame index derived from the harness perturbation so
+        # reps can't be hoisted
+        "realframe": lambda o, d, s: __import__(
+            "ray_tracer_tpu.renderer", fromlist=["render_frame"]
+        ).render_frame(
+            scene, basis, rt.RenderParams(width=W, height=H, bounces=3,
+                                          skybox=True, backend="pallas",
+                                          coherent_scatter=True),
+            (o[0, 0] * 1e30).astype(jnp.int32)),
     }
     for spec in specs:
         timeit(spec, variants[spec], oc, dc, st)
