@@ -85,37 +85,46 @@ def _build(args):
 def cmd_render(args):
     import numpy as np
 
-    scene, cam, params = _build(args)
-    if args.resume:
-        from .utils.checkpoint import load_renderer
-        r = load_renderer(args.resume, scene)
-    else:
-        r = Renderer(scene, cam, params)
+    from .utils.metrics import StageTimer
+
+    st = StageTimer()
+    with st.stage("build"):
+        scene, cam, params = _build(args)
+        if args.resume:
+            from .utils.checkpoint import load_renderer
+            r = load_renderer(args.resume, scene)
+        else:
+            r = Renderer(scene, cam, params)
     t0 = time.time()
-    if args.frames > 1 and r.frames == -1 and params.accumulate:
-        # batch path: all frames accumulate on-device in one dispatch
-        # (per-dispatch latency dominates interactive stepping)
-        from .renderer import camera_basis, render_progressive
-        basis = camera_basis(r.camera)
-        img = render_progressive(scene, basis, params, args.frames)
-        r._image = img
-        r.frames = args.frames - 1
-    else:
-        for i in range(args.frames):
-            img = r.step()
-    img = np.asarray(img)  # sync (block_until_ready is unreliable on
-    #                        tunneled TPU backends)
+    with st.stage("render"):
+        if args.frames > 1 and r.frames == -1 and params.accumulate:
+            # batch path: all frames accumulate on-device in one dispatch
+            # (per-dispatch latency dominates interactive stepping)
+            from .renderer import camera_basis, render_progressive
+            basis = camera_basis(r.camera)
+            img = render_progressive(scene, basis, params, args.frames,
+                                     resilient=args.resilient)
+            r._image = img
+            r.frames = args.frames - 1
+        else:
+            for i in range(args.frames):
+                img = r.step()
+        img = np.asarray(img)  # sync (block_until_ready is unreliable on
+        #                        tunneled TPU backends)
     dt = time.time() - t0
     if args.checkpoint:
         from .utils.checkpoint import save_renderer
-        save_renderer(args.checkpoint, r)
+        with st.stage("checkpoint"):
+            save_renderer(args.checkpoint, r)
         print(f"checkpoint -> {args.checkpoint}", file=sys.stderr)
     print(f"rendered {args.frames} frame(s) at {params.width}x{params.height} "
           f"in {dt:.2f}s ({args.frames / dt:.2f} fps)", file=sys.stderr)
-    if args.output.endswith(".npy"):
-        write_npy(args.output, img)
-    else:
-        write_png(args.output, img)
+    with st.stage("io"):
+        if args.output.endswith(".npy"):
+            write_npy(args.output, img)
+        else:
+            write_png(args.output, img)
+    st.log()
     print(f"wrote {args.output}", file=sys.stderr)
 
 
@@ -203,6 +212,8 @@ def cmd_info(args):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="ray_tracer_tpu")
+    ap.add_argument("-v", "--verbose", action="store_true",
+                    help="INFO logging: loader warnings, per-stage timings")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("render", help="render a scene to PNG/NPY")
@@ -214,6 +225,9 @@ def main(argv=None):
                    help="save accumulation state to this .npz when done")
     p.add_argument("--resume", default=None,
                    help="resume accumulation from a checkpoint .npz")
+    p.add_argument("--resilient", action="store_true",
+                   help="host-side safe point per frame chunk + retry on "
+                        "transient device/relay failures (long renders)")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("view", help="interactive progressive viewer (GUI)")
@@ -237,6 +251,12 @@ def main(argv=None):
     p.set_defaults(fn=cmd_info)
 
     args = ap.parse_args(argv)
+    if args.verbose:
+        import logging
+        logging.basicConfig(
+            level=logging.INFO,
+            format="%(levelname)s %(name)s: %(message)s")
+        logging.getLogger("jax").setLevel(logging.WARNING)
     args.fn(args)
 
 

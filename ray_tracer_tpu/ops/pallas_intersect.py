@@ -105,6 +105,13 @@ class KConfig(NamedTuple):
     # ~12 MB keeps the teapot (15,744 padded tris = 8 MB of lane-padded
     # planes) on the resident fast path; anything bigger streams
     vmem_tri_budget: int = 12 << 20
+    # rays per grid step on the STREAMING path. The whole scene is
+    # re-DMA'd once per ray step (total traffic = n_ray_steps × planes
+    # bytes), so big steps are essential: at 192k tris, 512-ray steps
+    # move ~400 GB/launch (measured 2.4 s/frame) while 8192-ray steps
+    # move ~25 GB. Tiles inside a step ride a dynamic fori_loop (not a
+    # static unroll) to keep Mosaic compile time flat.
+    blocked_step: int = 8192
 
 
 def env_config() -> KConfig:
@@ -118,6 +125,7 @@ def env_config() -> KConfig:
         traversal=os.environ.get("RTT_TRAVERSAL", "span"),
         tri_block=int(os.environ.get("RTT_TRI_BLOCK", "4096")),
         blocked=os.environ.get("RTT_BLOCKED", "auto"),
+        blocked_step=int(os.environ.get("RTT_BLOCKED_STEP", "8192")),
     )
 
 
@@ -662,7 +670,8 @@ def _make_blocked_kernel(SP: int, TB: int, n_blocks: int, t_min: float,
     n_sph_chunks = SP // tt_s
     AR = 24 if textured else 16
 
-    def kernel(ray_ref, sph_ref, tri_ref, clu_ref, *outs_and_scratch):
+    def kernel(ray_ref, sph_ref, tri_ref, clu_ref, blk_ref,
+               *outs_and_scratch):
         if want_attrs:
             (t_out, id_out, attr_out, bt_ref, bi_ref, flag_ref,
              acc_ref) = outs_and_scratch
@@ -671,8 +680,10 @@ def _make_blocked_kernel(SP: int, TB: int, n_blocks: int, t_min: float,
         k = pl.program_id(1)
         lo_gid = jnp.int32(SP) + k * jnp.int32(TB)
 
-        def one_tile(L: int):
-            lanes = slice(L, L + RT)
+        def one_tile(L):
+            # L is a traced lane offset (dynamic tile loop): aligned
+            # dynamic slice instead of the resident kernel's static unroll
+            lanes = pl.ds(pl.multiple_of(L, RT), RT)
             ox, oy, oz = (ray_ref[0:1, lanes], ray_ref[1:2, lanes],
                           ray_ref[2:3, lanes])
             dx, dy, dz = (ray_ref[3:4, lanes], ray_ref[4:5, lanes],
@@ -785,13 +796,32 @@ def _make_blocked_kernel(SP: int, TB: int, n_blocks: int, t_min: float,
                         tri_rows(c * csize + r0, tri_sub)
                 return carry
 
-            @pl.when(jnp.any(alive))
+            # whole-block AABB early-out: most (tile, block) visits die on
+            # this single slab test (the top level of the hierarchy; at
+            # 192k tris / 47 blocks a 16×8-pixel tile frustum enters only
+            # a few blocks), making the dead-visit cost one (1, RT) op
+            # instead of a full per-cluster prepass
+            blox, bloy, bloz = blk_ref[k, 0], blk_ref[k, 1], blk_ref[k, 2]
+            bhix, bhiy, bhiz = blk_ref[k, 3], blk_ref[k, 4], blk_ref[k, 5]
+            b1x, b2x = (blox - ox) * invdx, (bhix - ox) * invdx
+            b1y, b2y = (bloy - oy) * invdy, (bhiy - oy) * invdy
+            b1z, b2z = (bloz - oz) * invdz, (bhiz - oz) * invdz
+            btn = jnp.maximum(jnp.maximum(jnp.minimum(b1x, b2x),
+                                          jnp.minimum(b1y, b2y)),
+                              jnp.maximum(jnp.minimum(b1z, b2z), t_min))
+            btf = jnp.minimum(jnp.minimum(jnp.maximum(b1x, b2x),
+                                          jnp.maximum(b1y, b2y)),
+                              jnp.maximum(b1z, b2z))
+            block_enter = (btf >= btn) & alive & (btn < bt_ref[0:1, lanes])
+
+            @pl.when(jnp.any(alive) & (k == 0))
             def _():
-                @pl.when(k == 0)
-                def _():
-                    jax.lax.fori_loop(0, n_sph_chunks, sphere_chunk, 0)
+                jax.lax.fori_loop(0, n_sph_chunks, sphere_chunk, 0)
+
+            @pl.when(jnp.any(block_enter))
+            def _():
                 # per-block cluster prepass; an all-culled block (first >
-                # last) never touches its triangles — the block level of
+                # last) never touches its triangles — the mid level of
                 # the hierarchy
                 first, last = cluster_prepass()
                 jax.lax.fori_loop(first, last + 1, span_body, 0)
@@ -941,8 +971,13 @@ def _make_blocked_kernel(SP: int, TB: int, n_blocks: int, t_min: float,
                     jnp.where(best_id == BIG_ID, jnp.int32(0), best_id),
                     (8, RT))
 
-        for s in range(cfg.step_tiles):
-            one_tile(s * RT)
+        n_tiles = cfg.blocked_step // RT
+
+        def tile_body(j, carry):
+            one_tile(j * RT)
+            return carry
+
+        jax.lax.fori_loop(0, n_tiles, tile_body, 0)
 
     return kernel
 
@@ -959,7 +994,8 @@ def _nearest_hit_blocked_call(scene: Scene, o, d, t_min, alive, want_attrs,
     csize, RT = cfg.cluster, cfg.rt
     TB = max(csize, (cfg.tri_block // csize) * csize)
 
-    step = RT * cfg.step_tiles
+    step = max(RT, (cfg.blocked_step // RT) * RT)
+    cfg = cfg._replace(blocked_step=step)
     n_steps = -(-R // step)
     Rp = n_steps * step
     alive_f = (jnp.ones((R,), jnp.float32) if alive is None
@@ -986,6 +1022,15 @@ def _nearest_hit_blocked_call(scene: Scene, o, d, t_min, alive, want_attrs,
     n_blocks = TPp // TB
     TW = tri.shape[1]
     AR = 24 if textured else 16
+
+    # whole-block AABBs from the (padded) cluster AABBs; all-padding
+    # blocks inherit ±inf bounds and are never entered
+    g = TB // csize
+    blk = jnp.concatenate([
+        clu[:, 0:3].reshape(n_blocks, g, 3).min(1),
+        clu[:, 3:6].reshape(n_blocks, g, 3).max(1),
+        jnp.zeros((n_blocks, 2), jnp.float32),
+    ], axis=1)
 
     kernel = _make_blocked_kernel(SP, TB, n_blocks, float(t_min), tt_s,
                                   want_attrs, cfg, textured)
@@ -1022,6 +1067,8 @@ def _nearest_hit_blocked_call(scene: Scene, o, d, t_min, alive, want_attrs,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TB // csize, 8), lambda i, k: (k, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blocks, 8), lambda i, k: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -1033,7 +1080,7 @@ def _nearest_hit_blocked_call(scene: Scene, o, d, t_min, alive, want_attrs,
                             + n_steps * TPp * 128 * 4 + Rp * 8),
             transcendentals=0,
         ),
-    )(rays, sph, tri, clu)
+    )(rays, sph, tri, clu, blk)
 
     if want_attrs:
         t_out, id_out, attr_out = outs

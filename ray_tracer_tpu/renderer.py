@@ -383,12 +383,18 @@ def _render_progressive_chunk(scene: Scene, basis: CameraBasis,
 
 def render_progressive(scene: Scene, basis: CameraBasis, params: RenderParams,
                        frames: int, start_frame=0, image0=None,
-                       chunk: int = 8):
+                       chunk: int = 8, resilient: bool = False):
     """``frames`` progressive frames accumulated ON DEVICE via lax.scan —
     per-launch latency no longer multiplies with frame count, and the
     accumulation recurrence (wgsl:59-66) fuses into the frame loop. Work is
     issued in ``chunk``-frame compiled programs so one compilation serves
     any frame count. Returns the accumulated (H, W, 3) image.
+
+    ``resilient=True`` pulls the accumulated image to the host after each
+    chunk (a safe point) and retries a chunk whose launch died on a
+    transient relay/RPC error, re-uploading from the safe point — the
+    long-render analog of the reference's surface-loss recovery
+    (src/lib.rs:57-64). Costs one image transfer per chunk.
 
     Equivalent to calling ``render_frame`` + ``accumulate`` per frame
     starting at ``start_frame`` (the Renderer class uses that pair for
@@ -398,8 +404,23 @@ def render_progressive(scene: Scene, basis: CameraBasis, params: RenderParams,
     done = 0
     while done < frames:
         k = min(chunk, frames - done)
-        img = _render_progressive_chunk(scene, basis, params, k,
-                                        start_frame + done, img)
+        if resilient:
+            from .utils.retry import retry_transient
+            safe = np.asarray(img)
+            state = {"img": img}
+
+            def relaunch(attempt, exc, _k=k, _d=done):
+                state["img"] = jnp.asarray(safe)
+
+            def launch(_k=k, _d=done):
+                return _render_progressive_chunk(
+                    scene, basis, params, _k, start_frame + _d,
+                    state["img"])
+
+            img = retry_transient(launch, on_retry=relaunch)
+        else:
+            img = _render_progressive_chunk(scene, basis, params, k,
+                                            start_frame + done, img)
         done += k
     return img
 

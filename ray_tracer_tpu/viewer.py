@@ -47,6 +47,8 @@ class Viewer:
         self._drag_origin = None
         self._running = True
         self._dt = 1.0 / 30.0
+        from .utils.metrics import FrameClock
+        self.clock = FrameClock()
 
         self.fig, self.ax = plt.subplots(
             figsize=(params.width / 100, params.height / 100))
@@ -140,14 +142,16 @@ class Viewer:
         self._running = False
 
     def _status_line(self, dt: float) -> str:
-        """The imgui overlay readout (context.rs:235-249): frame time,
-        frame counter, camera position and look-at, plus the knob state."""
+        """The imgui overlay readout (context.rs:235-249): frame time
+        (instant + windowed mean/fps via FrameClock), frame counter,
+        camera position and look-at, plus the knob state."""
         cam = self.renderer.camera
         pos = ", ".join(f"{x:.2f}" for x in cam.origin)
         look = ", ".join(f"{x:.2f}" for x in cam.look_at)
         sid = self.scene_id if self.scene_id is not None else "-"
-        return (f"frame {self.renderer.frames}  {dt*1e3:.0f} ms  "
-                f"scene {sid}\npos ({pos})  look ({look})  "
+        return (f"frame {self.renderer.frames}  {dt*1e3:.0f} ms "
+                f"(avg {self.clock.mean_ms:.0f}, {self.clock.fps:.1f} fps)"
+                f"  scene {sid}\npos ({pos})  look ({look})  "
                 f"focus {cam.focus_dist:.2f}  aperture {cam.aperture:.2f}")
 
     def resize(self, width: int, height: int):
@@ -173,6 +177,7 @@ class Viewer:
                 self.im.set_data(rgb)
             dt = time.time() - t0
             self._dt = max(dt, 1e-3)
+            self.clock.record(dt)
             self.ax.set_title(self._status_line(dt), fontsize=7)
             self.fig.canvas.draw_idle()
             self.fig.canvas.flush_events()
