@@ -68,36 +68,44 @@ class CameraBasis:
 
 
 def _normalize(v):
-    return v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+    return v / np.maximum(np.linalg.norm(v), 1e-12)
 
 
 def camera_basis(cam: Camera) -> CameraBasis:
-    """Compute the ray-gen basis (src/core/camera.rs:92-103)."""
-    origin = jnp.asarray(cam.origin, jnp.float32)
-    look_at = jnp.asarray(cam.look_at, jnp.float32)
-    vup = jnp.asarray(cam.vup, jnp.float32)
+    """Compute the ray-gen basis (src/core/camera.rs:92-103).
+
+    Pure NUMPY on purpose: the basis is closed over by jitted render
+    functions, and a closed-over DEVICE array must be pulled back to the
+    host at lowering time to be embedded as an MLIR constant — through
+    the tunneled TPU backend each such pull costs ~16 s (measured: 7
+    basis arrays = 115 s of the old 123 s render_frame trace). Host
+    numpy values embed directly."""
+    origin = np.asarray(cam.origin, np.float32)
+    look_at = np.asarray(cam.look_at, np.float32)
+    vup = np.asarray(cam.vup, np.float32)
 
     theta = math.radians(cam.fov)
     height = 2.0 * math.tan(theta / 2.0)
     width = cam.aspect * height
 
     w = _normalize(origin - look_at)
-    u = _normalize(jnp.cross(vup, w))
-    v = jnp.cross(w, u)
+    u = _normalize(np.cross(vup, w))
+    v = np.cross(w, u)
 
-    horizontal = cam.focus_dist * width * u
-    vertical = cam.focus_dist * height * v
-    lower_left = origin - horizontal / 2.0 - vertical / 2.0 - cam.focus_dist * w
+    horizontal = (cam.focus_dist * width * u).astype(np.float32)
+    vertical = (cam.focus_dist * height * v).astype(np.float32)
+    lower_left = (origin - horizontal / 2.0 - vertical / 2.0
+                  - cam.focus_dist * w).astype(np.float32)
 
     return CameraBasis(
         origin=origin,
         lower_left=lower_left,
         horizontal=horizontal,
         vertical=vertical,
-        u=u,
-        v=v,
-        w=w,
-        lens_radius=jnp.float32(cam.aperture / 2.0),
+        u=u.astype(np.float32),
+        v=v.astype(np.float32),
+        w=w.astype(np.float32),
+        lens_radius=np.float32(cam.aperture / 2.0),
     )
 
 

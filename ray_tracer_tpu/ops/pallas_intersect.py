@@ -226,9 +226,12 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
         else:
             t_out, id_out, bt_ref, bi_ref, flag_ref = outs_and_scratch
 
-        def one_tile(L: int):
-            """Full traversal for the cull tile at static lane offset L."""
-            lanes = slice(L, L + RT)
+        def one_tile(L):
+            """Full traversal for the cull tile at lane offset L (traced:
+            tiles ride a dynamic fori_loop — a static unroll multiplies
+            host-side trace/lowering time by step_tiles, measured 40 s →
+            200+ s at step_tiles=4)."""
+            lanes = pl.ds(pl.multiple_of(L, RT), RT)
             # ray_ref: (8, step_tiles*RT) rows [ox oy oz dx dy dz alive ·]
             ox, oy, oz = (ray_ref[0:1, lanes], ray_ref[1:2, lanes],
                           ray_ref[2:3, lanes])
@@ -553,10 +556,11 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
                 jnp.where(best_id == BIG_ID, jnp.int32(0), best_id),
                 (8, RT))
 
-        # static unroll over the cull tiles in this grid step (static lane
-        # offsets keep every slice vreg-aligned)
-        for s in range(cfg.step_tiles):
-            one_tile(s * RT)
+        def tile_body(j, carry):
+            one_tile(j * RT)
+            return carry
+
+        jax.lax.fori_loop(0, cfg.step_tiles, tile_body, 0)
 
     return kernel
 
@@ -1113,8 +1117,8 @@ def _make_anyhit_kernel(SP: int, TP: int, t_min: float, t_max: float,
     tri_sub = min(cfg.tri_rows, csize)
 
     def kernel(ray_ref, sph_ref, tri_ref, clu_ref, out, blk_ref, flag_ref):
-        def one_tile(L: int):
-            lanes = slice(L, L + RT)
+        def one_tile(L):
+            lanes = pl.ds(pl.multiple_of(L, RT), RT)
             ox, oy, oz = (ray_ref[0:1, lanes], ray_ref[1:2, lanes],
                           ray_ref[2:3, lanes])
             dx, dy, dz = (ray_ref[3:4, lanes], ray_ref[4:5, lanes],
@@ -1224,8 +1228,11 @@ def _make_anyhit_kernel(SP: int, TP: int, t_min: float, t_max: float,
 
             out[:, lanes] = jnp.broadcast_to(blk_ref[0:1, :], (8, RT))
 
-        for s in range(cfg.step_tiles):
-            one_tile(s * RT)
+        def tile_body(j, carry):
+            one_tile(j * RT)
+            return carry
+
+        jax.lax.fori_loop(0, cfg.step_tiles, tile_body, 0)
 
     return kernel
 
