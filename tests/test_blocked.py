@@ -127,6 +127,25 @@ def test_blocked_alive_mask_and_padding():
     assert np.isinf(np.asarray(t0)).all()
 
 
+def test_blocked_occlusion_fallback():
+    """occluded() must route over-budget scenes through the streaming
+    closest-hit (the any-hit kernel is resident-only) and agree with the
+    jnp oracle."""
+    import os
+    from ray_tracer_tpu.ops.intersect import occluded
+    scene = _mesh_scene(300, seed=9)
+    o, d = _random_rays(256, seed=17, spread=4.0)
+    want = np.asarray(occluded(scene, o, d, backend="jnp"))
+    os.environ["RTT_BLOCKED"] = "force"
+    os.environ["RTT_TRI_BLOCK"] = "128"
+    try:
+        got = np.asarray(occluded(scene, o, d, backend="pallas"))
+    finally:
+        del os.environ["RTT_BLOCKED"], os.environ["RTT_TRI_BLOCK"]
+    assert want.any() and not want.all()
+    np.testing.assert_array_equal(got, want)
+
+
 def test_blocked_textured_fused():
     """fused_intersect through the blocked kernel on a textured scene:
     24-row incremental extraction + outside texture fetch must match the
