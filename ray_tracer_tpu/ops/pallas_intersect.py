@@ -70,6 +70,10 @@ class KConfig(NamedTuple):
 
     rt:         rays per cull tile (lane axis; multiple of 128). The culling
                 granularity: one slab prepass + one traversal per tile.
+                Default 512 (solo r2 sweep, 1080p teapot trace ms/frame:
+                rt128 99 · rt256 71 · rt512+st2 66 · rt1024 76 — wider
+                tiles amortize per-tile fixed cost until the tile frustum
+                gets too fat to cull).
     cluster:    triangles per cullable chunk (sublane axis); must divide the
                 scene's triangle padding (a multiple of 128).
     tri_rows:   rows per Möller–Trumbore sub-block inside a cluster (must
@@ -91,10 +95,10 @@ class KConfig(NamedTuple):
                 "prepassonly": slab prepass but NO triangle tests (ablation:
                              measures everything-but-MT; results are wrong).
     """
-    rt: int = 128
+    rt: int = 512
     cluster: int = 128
     tri_rows: int = 128
-    step_tiles: int = 1
+    step_tiles: int = 2
     traversal: str = "span"
     # Streaming (tri-blocked) path: triangles ride a second grid dimension
     # in blocks of ``tri_block`` rows instead of keeping the whole scene
@@ -118,10 +122,10 @@ def env_config() -> KConfig:
     """KConfig from RTT_* env vars (read per call, so tests/sweeps can
     change them without reimporting)."""
     return KConfig(
-        rt=int(os.environ.get("RTT_RT", "128")),
+        rt=int(os.environ.get("RTT_RT", "512")),
         cluster=int(os.environ.get("RTT_CLUSTER", "128")),
         tri_rows=int(os.environ.get("RTT_TRI_ROWS", "128")),
-        step_tiles=int(os.environ.get("RTT_STEP_TILES", "4")),
+        step_tiles=int(os.environ.get("RTT_STEP_TILES", "2")),
         traversal=os.environ.get("RTT_TRAVERSAL", "span"),
         tri_block=int(os.environ.get("RTT_TRI_BLOCK", "4096")),
         blocked=os.environ.get("RTT_BLOCKED", "auto"),
