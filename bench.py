@@ -40,8 +40,11 @@ def build_workload():
         chunk_pixels=0,
         # coherent path tracing: unbiased, same per-pixel variance (see
         # materials.scatter); keeps secondary-bounce kernel tiles
-        # direction-coherent so cluster culling engages on all bounces
-        coherent_scatter=True)
+        # direction-coherent so cluster culling engages on all bounces.
+        # coherent_tile=0: share per full cull tile (fastest; the
+        # convergence tradeoff documented in RenderParams doesn't bind a
+        # throughput benchmark)
+        coherent_scatter=True, coherent_tile=0)
 
     teapot = "/root/reference/assets/the_utah_teapot.glb"
     b = rt.SceneBuilder()

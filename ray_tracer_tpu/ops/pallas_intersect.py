@@ -104,7 +104,7 @@ class KConfig(NamedTuple):
     # in blocks of ``tri_block`` rows instead of keeping the whole scene
     # VMEM-resident — removes the ~30k-triangle VMEM cap. "auto" switches
     # when the packed planes exceed ``vmem_tri_budget`` bytes.
-    tri_block: int = 4096
+    tri_block: int = 8192            # 16384 stalls Mosaic compile (meas.)
     blocked: str = "auto"            # "auto" | "never" | "force"
     # ~12 MB keeps the teapot (15,744 padded tris = 8 MB of lane-padded
     # planes) on the resident fast path; anything bigger streams
@@ -127,7 +127,7 @@ def env_config() -> KConfig:
         tri_rows=int(os.environ.get("RTT_TRI_ROWS", "128")),
         step_tiles=int(os.environ.get("RTT_STEP_TILES", "2")),
         traversal=os.environ.get("RTT_TRAVERSAL", "span"),
-        tri_block=int(os.environ.get("RTT_TRI_BLOCK", "4096")),
+        tri_block=int(os.environ.get("RTT_TRI_BLOCK", "8192")),
         blocked=os.environ.get("RTT_BLOCKED", "auto"),
         blocked_step=int(os.environ.get("RTT_BLOCKED_STEP", "8192")),
     )

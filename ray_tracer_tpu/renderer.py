@@ -181,10 +181,20 @@ def trace(scene: Scene, o, d, state, params: RenderParams):
         active_miss = alive & ~h.hit
 
         # Scatter every lane (branchless); only active-hit lanes keep results.
+        if params.coherent_scatter:
+            # coherent_tile=0 matches the kernel cull tile, so its whole
+            # secondary wavefront carries one direction cone (fastest);
+            # see RenderParams.coherent_tile for the variance tradeoff
+            share = params.coherent_tile
+            if share == 0:
+                from .ops.pallas_intersect import env_config
+                share = env_config().rt
+        else:
+            share = 0
         state, new_dir, is_dielectric = materials.scatter(
             state, d, h.normal, h.smoothness,
             cosine_sampling=params.cosine_sampling,
-            share_tile=(128 if params.coherent_scatter else 0))
+            share_tile=share)
 
         # Dielectric forces white albedo (wgsl:241).
         albedo = jnp.where(is_dielectric[:, None], 1.0, h.albedo)

@@ -84,6 +84,14 @@ class RenderParams:
     # bounce (~5% whole-frame on the open teapot scene — most rays die at
     # bounce 0 there; grows with bounce survival). See materials.scatter.
     coherent_scatter: bool = False
+    # Width of the shared-draw tile when coherent_scatter is on. 0 =
+    # match the Pallas cull tile (KConfig.rt; fastest — the whole cull
+    # tile carries one direction cone, +16% on the teapot bench) but
+    # single-frame blockiness spans the full tile and ENCLOSED scenes
+    # visually converge noticeably slower (measured: room@128 frames
+    # still streaky at 512 vs clean at 128). Default 128 favors
+    # convergence; benchmarks set 0.
+    coherent_tile: int = 128
     # Cosine-weighted hemisphere sampling (true Lambertian BRDF) instead of
     # the reference's uniform-hemisphere scatter (wgsl:211-214). Changes
     # the converged look (documented extension; default = reference).
@@ -100,6 +108,8 @@ class RenderParams:
             raise ValueError(f"unknown backend {self.backend!r}")
         if self.compaction not in (False, True, "octant", "morton"):
             raise ValueError(f"unknown compaction {self.compaction!r}")
+        if self.coherent_tile < 0:
+            raise ValueError("coherent_tile must be >= 0 (0 = kernel tile)")
 
     @property
     def aspect(self) -> float:
