@@ -43,11 +43,19 @@ TWO_PI = np.float32(2.0 * np.pi)
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class LightTable:
-    kind: jax.Array       # (L,) int32: 0=sphere, 1=triangle
-    index: jax.Array      # (L,) int32 into the scene's padded arrays
-    emission: jax.Array   # (L, 3) emission_color * emission_strength
-    area: jax.Array       # (L,)
-    prim_id: jax.Array    # (L,) global prim id (for self-hit exclusion)
+    """Fixed-size emitter table.
+
+    ``packed`` carries EVERYTHING a lane needs about its sampled light in
+    one (L, 20) array: [p_light | area | emission(3) | prim_id | is_tri |
+    center(3) | radius | v0(3) | v1(3) | v2(3)]. Per-lane selection is a
+    one-hot (R, L) @ (L, 20) MXU contraction instead of R-row gathers —
+    TPU gathers are row-rate-bound (~40 ms per 2M rows, independent of
+    the table being 16 entries), and the contraction's VJP is a matmul
+    (onehot^T @ g) rather than a scatter-add, which keeps emitter
+    gradients cheap too.
+    """
+    packed: jax.Array     # (L, 20) see above
+    prim_id: jax.Array    # (L,) global prim id (for emission suppression)
     cdf: jax.Array        # (L,) normalized inclusive power CDF
     has_lights: jax.Array # () bool
     entry_valid: jax.Array  # (L,) bool: entry is a real (power > 0) emitter
@@ -80,8 +88,25 @@ def build_light_table(scene: Scene) -> LightTable:
     total = jnp.sum(top_power)
     has = total > 0.0
     cdf = jnp.cumsum(top_power) / jnp.where(has, total, 1.0)
-    return LightTable(kind=kind, index=index, emission=emit[top],
-                      area=area[top], prim_id=top.astype(jnp.int32), cdf=cdf,
+    cdf_prev = jnp.concatenate([jnp.zeros((1,), cdf.dtype), cdf[:-1]])
+
+    # resolve per-light geometry at build time (L rows — these gathers
+    # are tiny and hoisted per scene); prim ids stay f32-exact < 2^24
+    sidx = jnp.where(top >= SP, 0, top)
+    tidx = jnp.where(top >= SP, top - SP, 0)
+    packed = jnp.concatenate([
+        (cdf - cdf_prev)[:, None],                 # 0  p_light
+        area[top][:, None],                        # 1
+        emit[top],                                 # 2:5  emission
+        top.astype(jnp.float32)[:, None],          # 5  prim_id
+        kind.astype(jnp.float32)[:, None],         # 6  is_tri
+        scene.sphere_center[sidx],                 # 7:10
+        scene.sphere_radius[sidx][:, None],        # 10
+        scene.tri_v0[tidx],                        # 11:14
+        scene.tri_v1[tidx],                        # 14:17
+        scene.tri_v2[tidx],                        # 17:20
+    ], axis=1)
+    return LightTable(packed=packed, prim_id=top.astype(jnp.int32), cdf=cdf,
                       has_lights=has, entry_valid=top_power > 0.0)
 
 
@@ -89,8 +114,9 @@ def sample_lights(lights: LightTable, scene: Scene, state, p):
     """Sample one light point per lane.
 
     Args:
-      lights: LightTable. scene: Scene. state: (R,) uint32. p: (R, 3) hit
-      points (shadow-ray origins).
+      lights: LightTable. scene: unused (geometry now rides
+      LightTable.packed; kept for call-site stability). state: (R,)
+      uint32. p: (R, 3) hit points (shadow-ray origins).
 
     Returns (state, dict) with: wi (R,3) unnormalized direction to the light
     point, dist (R,), radiance (R,3) Le, inv_pdf_w (R,) solid-angle measure
@@ -102,23 +128,29 @@ def sample_lights(lights: LightTable, scene: Scene, state, p):
     # CDF inversion by compare-count (L is tiny)
     li = jnp.sum(u[:, None] > lights.cdf[None, :], axis=1).astype(jnp.int32)
     li = jnp.clip(li, 0, L - 1)
-    # selection probability of each light
-    cdf_prev = jnp.concatenate([jnp.zeros((1,), lights.cdf.dtype),
-                                lights.cdf[:-1]])
-    p_light = (lights.cdf - cdf_prev)[li]
-
-    kind = lights.kind[li]
-    idx = lights.index[li]
+    # one-hot MXU contraction replaces per-lane gathers (see LightTable).
+    # precision="highest": default bf16 perturbs the packed vertex coords
+    # by ~0.03, pushing sampled light points behind the emitter's own
+    # surface — every shadow ray then self-occludes and NEE goes black
+    # on TPU (measured; exact under f32).
+    onehot = (li[:, None] == jnp.arange(L, dtype=jnp.int32)[None, :]
+              ).astype(jnp.float32)                       # (R, L)
+    row = jnp.matmul(onehot, lights.packed,
+                     precision="highest")                 # (R, 20)
+    p_light = row[:, 0]
+    area = row[:, 1]
+    radiance = row[:, 2:5]
+    light_prim = row[:, 5].astype(jnp.int32)
+    kind = row[:, 6]
+    c, r = row[:, 7:10], row[:, 10]
+    v0, v1, v2 = row[:, 11:14], row[:, 14:17], row[:, 17:20]
 
     # sphere light: uniform point on the surface
-    c = scene.sphere_center[idx]
-    r = scene.sphere_radius[idx]
     state, sdir = sampling.unit_sphere(state)
     p_sphere = c + sdir * r[:, None]
     n_sphere = sdir
 
     # triangle light: uniform barycentric point
-    v0, v1, v2 = scene.tri_v0[idx], scene.tri_v1[idx], scene.tri_v2[idx]
     state, u1 = sampling.uniform(state)
     state, u2 = sampling.uniform(state)
     su = jnp.sqrt(jnp.maximum(u1, 1e-12))
@@ -129,7 +161,7 @@ def sample_lights(lights: LightTable, scene: Scene, state, p):
     ng = jnp.cross(v1 - v0, v2 - v0)
     n_tri = ng / jnp.maximum(jnp.linalg.norm(ng, axis=-1, keepdims=True), 1e-12)
 
-    is_tri = kind == 1
+    is_tri = kind > 0.5
     lp = jnp.where(is_tri[:, None], p_tri, p_sphere)
     ln = jnp.where(is_tri[:, None], n_tri, n_sphere)
 
@@ -144,10 +176,9 @@ def sample_lights(lights: LightTable, scene: Scene, state, p):
     cos_l = jnp.sum(-wi_unit * ln, axis=-1)
     front = cos_l > 1e-6
 
-    area = lights.area[li]
     inv_pdf_w = (area * jnp.abs(cos_l) / jnp.maximum(d2, 1e-20)
                  / jnp.maximum(p_light, 1e-12))
     ok = lights.has_lights & front & (p_light > 0.0)
-    return state, dict(wi=wi, dist=dist, radiance=lights.emission[li],
-                       inv_pdf_w=inv_pdf_w, light_prim=lights.prim_id[li],
+    return state, dict(wi=wi, dist=dist, radiance=radiance,
+                       inv_pdf_w=inv_pdf_w, light_prim=light_prim,
                        ok=ok)

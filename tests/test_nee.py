@@ -15,12 +15,13 @@ def test_light_table_room():
     lt = build_light_table(scene)
     assert bool(lt.has_lights)
     # the two ceiling-quad triangles are the only emitters
-    kinds = np.asarray(lt.kind)
+    # packed cols: [p_light | area | emission(3) | prim_id | is_tri | ...]
+    packed = np.asarray(lt.packed)
     cdf = np.asarray(lt.cdf)
     n_real = int((np.diff(np.concatenate([[0.0], cdf])) > 0).sum())
     assert n_real == 2
-    assert (kinds[:2] == 1).all()  # triangles
-    np.testing.assert_allclose(np.asarray(lt.emission[0]), [10.5] * 3, atol=1e-5)
+    assert (packed[:2, 6] == 1.0).all()  # triangles
+    np.testing.assert_allclose(packed[0, 2:5], [10.5] * 3, atol=1e-5)
 
 
 def test_light_table_empty_scene():

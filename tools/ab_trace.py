@@ -140,6 +140,14 @@ def main():
     load_model("/root/reference/assets/the_utah_teapot.glb", b,
                placement="origin", albedo=(0.7, 0.5, 0.3), smoothness=0.3,
                use_textures=os.environ.get("AB_TEX", "1") == "1")
+    if os.environ.get("AB_LIGHT") == "1":
+        # emissive sphere above the teapot so the NEE variants have a
+        # light table to sample
+        lo0, hi0 = b.bounds()
+        c0, e0 = (lo0 + hi0) / 2, float(np.linalg.norm(hi0 - lo0))
+        b.add_sphere(tuple(c0 + e0 * np.array([0.0, 0.9, 0.0])), e0 * 0.2,
+                     albedo=(1, 1, 1), emission=(1, 1, 1),
+                     emission_strength=5.0)
     lo, hi = b.bounds()
     scene = b.build()
     center, ext = (lo + hi) / 2, float(np.linalg.norm(hi - lo))
@@ -158,6 +166,7 @@ def main():
     variants = {
         "full": make_variant(scene, 3),
         "fullcoh": make_variant(scene, 3, share_tile=128),
+        "fullcoh512": make_variant(scene, 3, share_tile=512),
         "isumt": make_variant(scene, 3, do_scatter=False, do_env=False,
                               do_radiance=False, sum_t=True),
         "isumtcoh": make_variant(scene, 3, do_env=False, do_radiance=False,
@@ -180,6 +189,12 @@ def main():
             scene, o, d, s, rt.RenderParams(width=W, height=H, bounces=3,
                                             skybox=True, backend="pallas",
                                             coherent_scatter=True))[1],
+        # NEE on (needs AB_LIGHT=1 for a sampleable emitter)
+        "realnee": lambda o, d, s: trace(
+            scene, o, d, s, rt.RenderParams(width=W, height=H, bounces=3,
+                                            skybox=True, backend="pallas",
+                                            coherent_scatter=True,
+                                            nee=True))[1],
         # the whole frame path (camera rays + trace + unblock), bench
         # params; frame index derived from the harness perturbation so
         # reps can't be hoisted
