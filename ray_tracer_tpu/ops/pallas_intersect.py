@@ -81,9 +81,10 @@ class KConfig(NamedTuple):
                 ≈ 30·(rows·rt/1024) vregs.
     step_tiles: cull tiles per grid step. >1 amortizes per-grid-step fixed
                 cost (DMA + pipeline orchestration) over more rays without
-                coarsening the culling tile. Default 4: −7% frame time on
-                the untextured teapot trace, −2% textured (measured solo;
-                the all-dead launch floor is 10.5 ms at step_tiles=1).
+                coarsening the culling tile. Default 2 (with rt=512; the
+                solo sweep put rt512+st2 at 66 ms/frame vs 99 at
+                rt128+st4 — the all-dead launch floor is 10.5 ms at
+                rt128+st1).
     traversal:  cluster visit order —
                 "span":      ascending sweep of the entering-cluster Morton
                              span, flag-gated per cluster,
@@ -190,8 +191,14 @@ def _pack_spheres(scene: Scene):
 
 def _cluster_aabbs(scene: Scene, csize: int):
     """(C, 8) cluster bounds [lo(3) | hi(3) | pad(2)] over Morton-sorted
-    triangle chunks. Invalid (padding) triangles contribute ±inf so an
-    all-padding cluster can never pass the slab test."""
+    triangle chunks. Invalid (padding) triangles contribute ±inf.
+
+    NOTE: an all-padding cluster's (lo=+inf, hi=-inf) box does NOT fail
+    the slab test — per axis {t1,t2} = {±inf}, so tn folds to t_min and
+    tf to +inf and every live ray "enters". The kernels therefore mask
+    entry flags with the static real-cluster count (valid triangles come
+    first: the Morton sort runs before padding is appended in
+    SceneBuilder.build)."""
     TP = scene.padded_tris
     C = TP // csize
     valid = (scene.tri_valid > 0.5)[:, None, None]             # (TP,1,1)
@@ -217,11 +224,14 @@ def _min_fold_refs(t_pairs, valid, ids, bt_ref, bi_ref):
 
 
 def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
-                 want_attrs: bool, cfg: KConfig, textured: bool = False):
+                 want_attrs: bool, cfg: KConfig, textured: bool = False,
+                 n_real_clu: int | None = None):
     n_sph_chunks = SP // tt_s
     RT, csize = cfg.rt, cfg.cluster
     tri_sub = min(cfg.tri_rows, csize)
     AR = 24 if textured else 16      # attr rows (see nearest_hit_attrs_pallas)
+    if n_real_clu is None:
+        n_real_clu = TP // csize
 
     def kernel(ray_ref, sph_ref, tri_ref, clu_ref, *outs_and_scratch):
         if want_attrs:
@@ -338,11 +348,14 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
                 tf = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
                                              jnp.maximum(t1y, t2y)),
                                  jnp.maximum(t1z, t2z))
-                # initial tightening: spheres already folded into best_t
-                enter = (tf >= tn) & alive & (tn < bt_ref[0:1, :])
+                # initial tightening: spheres already folded into best_t;
+                # all-padding clusters pass the slab test vacuously (see
+                # _cluster_aabbs) — mask them by the real-cluster count
+                cidx = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+                enter = ((tf >= tn) & alive & (tn < bt_ref[0:1, :])
+                         & (cidx < jnp.int32(n_real_clu)))
                 flag = jnp.max(jnp.where(enter, 1, 0), axis=1, keepdims=True)
                 flag_ref[:, :] = jnp.broadcast_to(flag, flag_ref.shape)
-                cidx = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
                 first = jnp.min(jnp.where(flag > 0, cidx, C))
                 last = jnp.max(jnp.where(flag > 0, cidx, -1))
                 # nearest entering cluster = argmin of the tile-min entry
@@ -598,7 +611,8 @@ def _nearest_hit_call(scene: Scene, o, d, t_min, alive, want_attrs,
     AR = 24 if textured else 16
 
     kernel = _make_kernel(SP, TP, float(t_min), tt_s, want_attrs, cfg,
-                          textured)
+                          textured,
+                          n_real_clu=-(-scene.num_tris // csize))
     out_specs = [
         pl.BlockSpec((8, step), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((8, step), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -653,7 +667,7 @@ def _nearest_hit_call(scene: Scene, o, d, t_min, alive, want_attrs,
 
 def _make_blocked_kernel(SP: int, TB: int, n_blocks: int, t_min: float,
                          tt_s: int, want_attrs: bool, cfg: KConfig,
-                         textured: bool = False):
+                         textured: bool = False, num_real_tris: int = 0):
     """Streaming (tri-blocked) closest-hit kernel body.
 
     Grid is (n_ray_steps, n_tri_blocks) with the TRIANGLE dimension
@@ -789,10 +803,17 @@ def _make_blocked_kernel(SP: int, TB: int, n_blocks: int, t_min: float,
                 tf = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
                                              jnp.maximum(t1y, t2y)),
                                  jnp.maximum(t1z, t2z))
-                enter = (tf >= tn) & alive & (tn < bt_ref[0:1, lanes])
+                # mask all-padding clusters (they pass the slab test
+                # vacuously, see _cluster_aabbs): this block's real
+                # clusters are those before the global real count
+                cidx = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+                local_limit = jnp.clip(
+                    jnp.int32(-(-num_real_tris // csize)) - k * jnp.int32(C),
+                    0, C)
+                enter = ((tf >= tn) & alive & (tn < bt_ref[0:1, lanes])
+                         & (cidx < local_limit))
                 flag = jnp.max(jnp.where(enter, 1, 0), axis=1, keepdims=True)
                 flag_ref[:, :] = jnp.broadcast_to(flag, flag_ref.shape)
-                cidx = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
                 first = jnp.min(jnp.where(flag > 0, cidx, C))
                 last = jnp.max(jnp.where(flag > 0, cidx, -1))
                 return first, last
@@ -826,11 +847,14 @@ def _make_blocked_kernel(SP: int, TB: int, n_blocks: int, t_min: float,
             def _():
                 jax.lax.fori_loop(0, n_sph_chunks, sphere_chunk, 0)
 
-            @pl.when(jnp.any(block_enter))
+            @pl.when(jnp.any(block_enter)
+                     & (k * jnp.int32(TB) < jnp.int32(num_real_tris)))
             def _():
                 # per-block cluster prepass; an all-culled block (first >
                 # last) never touches its triangles — the mid level of
-                # the hierarchy
+                # the hierarchy. Fully-padded blocks (k·TB beyond the
+                # real triangle count) are skipped statically: their ±inf
+                # block AABB does not fail the slab test on its own.
                 first, last = cluster_prepass()
                 jax.lax.fori_loop(first, last + 1, span_body, 0)
 
@@ -1017,8 +1041,9 @@ def _nearest_hit_blocked_call(scene: Scene, o, d, t_min, alive, want_attrs,
     clu = _cluster_aabbs(scene, csize)
     TPp = -(-TP // TB) * TB
     if TPp != TP:
-        # zero geometry rows → det 0 → never valid; ±inf cluster AABBs →
-        # never entered
+        # zero geometry rows → det 0 → never valid; padding clusters are
+        # masked OUT of the prepass by the real-cluster count (their
+        # ±inf AABBs pass the slab test vacuously — see _cluster_aabbs)
         tri = jnp.pad(tri, ((0, TPp - TP), (0, 0)))
         pad_c = (TPp - TP) // csize
         clu = jnp.concatenate([
@@ -1041,7 +1066,8 @@ def _nearest_hit_blocked_call(scene: Scene, o, d, t_min, alive, want_attrs,
     ], axis=1)
 
     kernel = _make_blocked_kernel(SP, TB, n_blocks, float(t_min), tt_s,
-                                  want_attrs, cfg, textured)
+                                  want_attrs, cfg, textured,
+                                  num_real_tris=scene.num_tris)
     out_specs = [
         pl.BlockSpec((8, step), lambda i, k: (0, i),
                      memory_space=pltpu.VMEM),
@@ -1109,7 +1135,8 @@ def _use_blocked(scene: Scene, cfg: KConfig) -> bool:
 
 
 def _make_anyhit_kernel(SP: int, TP: int, t_min: float, t_max: float,
-                        tt_s: int, cfg: KConfig):
+                        tt_s: int, cfg: KConfig,
+                        n_real_clu: int | None = None):
     """Occlusion (shadow-ray) kernel: is ANY primitive in (t_min, t_max)
     along o + t*d? Early-exits per tile — unlike closest-hit there is no
     best-t to maintain, a single blocking hit settles a lane, and a tile
@@ -1119,6 +1146,8 @@ def _make_anyhit_kernel(SP: int, TP: int, t_min: float, t_max: float,
     n_sph_chunks = SP // tt_s
     RT, csize = cfg.rt, cfg.cluster
     tri_sub = min(cfg.tri_rows, csize)
+    if n_real_clu is None:
+        n_real_clu = TP // csize
 
     def kernel(ray_ref, sph_ref, tri_ref, clu_ref, out, blk_ref, flag_ref):
         def one_tile(L):
@@ -1201,11 +1230,13 @@ def _make_anyhit_kernel(SP: int, TP: int, t_min: float, t_max: float,
                                              jnp.maximum(t1y, t2y)),
                                  jnp.maximum(t1z, t2z))
                 # the shadow segment ends at t_max: clusters entirely
-                # beyond it can't block
-                enter = (tf >= tn) & (tn < t_max) & alive
+                # beyond it can't block; all-padding clusters are masked
+                # by the real count (vacuous slab pass, _cluster_aabbs)
+                cidx = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+                enter = ((tf >= tn) & (tn < t_max) & alive
+                         & (cidx < jnp.int32(n_real_clu)))
                 flag = jnp.max(jnp.where(enter, 1, 0), axis=1, keepdims=True)
                 flag_ref[:, :] = jnp.broadcast_to(flag, flag_ref.shape)
-                cidx = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
                 first = jnp.min(jnp.where(flag > 0, cidx, C))
                 last = jnp.max(jnp.where(flag > 0, cidx, -1))
                 return first, last
@@ -1265,7 +1296,8 @@ def _anyhit_call(scene: Scene, o, d, t_min, t_max, alive, interpret,
     clu = _cluster_aabbs(scene, csize)
 
     kernel = _make_anyhit_kernel(SP, TP, float(t_min), float(t_max), tt_s,
-                                 cfg)
+                                 cfg,
+                                 n_real_clu=-(-scene.num_tris // csize))
     out = pl.pallas_call(
         kernel,
         grid=(n_steps,),

@@ -20,11 +20,14 @@ initialize() call per process before any jax computation, e.g.:
 
 from __future__ import annotations
 
+import logging
 from typing import Optional
 
 import jax
 import numpy as np
 from jax.sharding import Mesh
+
+logger = logging.getLogger("ray_tracer_tpu.distributed")
 
 HOST_AXIS = "host"
 CHIP_AXIS = "chip"
@@ -67,11 +70,18 @@ def initialize(coordinator_address: Optional[str] = None,
         _initialized = True
         return True
     except (RuntimeError, ValueError) as e:
-        # single-process environment (no coordinator to be found) — fine;
-        # anything else deserves the caller's attention
         if "already initialized" in str(e).lower():
             _initialized = True
             return True
+        if coordinator_address is not None or num_processes is not None:
+            # the caller named a coordinator: failing to reach it is a
+            # real error — silently continuing single-process would have
+            # every host render the full image with no diagnostic
+            raise
+        # auto-detect mode in a single-process environment (no
+        # coordinator to be found) — benign, but say so
+        logger.info("jax.distributed not initialized (single-process): %s",
+                    str(e).splitlines()[0])
         return False
 
 

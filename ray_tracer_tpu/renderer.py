@@ -411,26 +411,31 @@ def render_progressive(scene: Scene, basis: CameraBasis, params: RenderParams,
     interactive stepping; use this for headless/batch rendering)."""
     H, W = params.height, params.width
     img = (jnp.zeros((H, W, 3), jnp.float32) if image0 is None else image0)
+    if resilient:
+        from .utils.retry import retry_transient
+        # the safe point lives on the HOST, and each launch materializes
+        # its result INSIDE the retry (jit dispatch is async — without
+        # the in-retry np.asarray, a relay drop would surface at some
+        # later unprotected sync and crash anyway)
+        host_img = np.asarray(img)
+        done = 0
+        while done < frames:
+            k = min(chunk, frames - done)
+
+            def launch(_k=k, _d=done, _h=host_img):
+                out = _render_progressive_chunk(
+                    scene, basis, params, _k, start_frame + _d,
+                    jnp.asarray(_h))
+                return np.asarray(out)
+
+            host_img = retry_transient(launch)
+            done += k
+        return jnp.asarray(host_img)
     done = 0
     while done < frames:
         k = min(chunk, frames - done)
-        if resilient:
-            from .utils.retry import retry_transient
-            safe = np.asarray(img)
-            state = {"img": img}
-
-            def relaunch(attempt, exc, _k=k, _d=done):
-                state["img"] = jnp.asarray(safe)
-
-            def launch(_k=k, _d=done):
-                return _render_progressive_chunk(
-                    scene, basis, params, _k, start_frame + _d,
-                    state["img"])
-
-            img = retry_transient(launch, on_retry=relaunch)
-        else:
-            img = _render_progressive_chunk(scene, basis, params, k,
-                                            start_frame + done, img)
+        img = _render_progressive_chunk(scene, basis, params, k,
+                                        start_frame + done, img)
         done += k
     return img
 

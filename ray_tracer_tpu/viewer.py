@@ -61,6 +61,7 @@ class Viewer:
         self.fig.canvas.mpl_connect("button_release_event", self._on_release)
         self.fig.canvas.mpl_connect("motion_notify_event", self._on_motion)
         self.fig.canvas.mpl_connect("close_event", lambda e: self._stop())
+        self.fig.canvas.mpl_connect("resize_event", self._on_resize)
 
     # -- input routing (Context::input analog, context.rs:148-175) --------
 
@@ -160,6 +161,17 @@ class Viewer:
         self.renderer.set_params(
             self.renderer.params.replace(width=width, height=height))
         self.im = None  # force imshow rebuild at the new extent
+
+    def _on_resize(self, event):
+        """Window-drag resize → render-resolution change (lib.rs:40-45).
+        Quantized to multiples of 16 and no-op'd when unchanged: every
+        distinct size is a (cached) recompile, and matplotlib fires
+        resize_event on some ordinary draws too."""
+        w = max(64, int(event.width) // 16 * 16)
+        h = max(64, int(event.height) // 16 * 16)
+        p = self.renderer.params
+        if (w, h) != (p.width, p.height):
+            self.resize(w, h)
 
     # -- frame loop (run() analog, src/lib.rs:23-69) -----------------------
 
