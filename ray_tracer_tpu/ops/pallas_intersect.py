@@ -208,6 +208,56 @@ def _cluster_aabbs(scene: Scene, csize: int):
     return jnp.concatenate([lo, hi, jnp.zeros((C, 2), jnp.float32)], axis=1)
 
 
+def _slab_test(lo, hi, o, invd, t_min):
+    """AABB slab test. ``lo``/``hi``/``o``/``invd`` are (x, y, z) triples
+    of broadcast-compatible arrays; returns (tn, tf) with the reference
+    near-clamp at t_min. Shared by every kernel's prepass so the test can
+    never diverge between them."""
+    t1x, t2x = (lo[0] - o[0]) * invd[0], (hi[0] - o[0]) * invd[0]
+    t1y, t2y = (lo[1] - o[1]) * invd[1], (hi[1] - o[1]) * invd[1]
+    t1z, t2z = (lo[2] - o[2]) * invd[2], (hi[2] - o[2]) * invd[2]
+    tn = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                 jnp.minimum(t1y, t2y)),
+                     jnp.maximum(jnp.minimum(t1z, t2z), t_min))
+    tf = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                 jnp.maximum(t1y, t2y)),
+                     jnp.maximum(t1z, t2z))
+    return tn, tf
+
+
+def _mt_pairs(a, e1, e2, n, o, d, t_min):
+    """Möller–Trumbore cross/determinant form (wgsl:125-147) on loaded
+    plane rows. ``a``/``e1``/``e2``/``n`` and ``o``/``d`` are (x, y, z)
+    triples; returns (t, geom_valid). One definition shared by the
+    resident, streaming and any-hit kernels."""
+    aox, aoy, aoz = o[0] - a[0], o[1] - a[1], o[2] - a[2]
+    det = -(d[0] * n[0] + d[1] * n[1] + d[2] * n[2])
+    t_num = aox * n[0] + aoy * n[1] + aoz * n[2]
+    daox = aoy * d[2] - aoz * d[1]                      # ao × d
+    daoy = aoz * d[0] - aox * d[2]
+    daoz = aox * d[1] - aoy * d[0]
+    u_num = e2[0] * daox + e2[1] * daoy + e2[2] * daoz
+    v_num = -(e1[0] * daox + e1[1] * daoy + e1[2] * daoz)
+    inv = 1.0 / det
+    t = t_num * inv
+    u = u_num * inv
+    v = v_num * inv
+    valid = ((det >= TRI_DET_EPS) & (t >= t_min)
+             & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0))
+    return t, valid
+
+
+def _sphere_pairs(c, r2, o, d, a_quad, t_min):
+    """Near-root sphere quadratic (wgsl:106-123). ``c``/``o``/``d`` are
+    (x, y, z) triples; returns (t, geom_valid)."""
+    ocx, ocy, ocz = o[0] - c[0], o[1] - c[1], o[2] - c[2]
+    b = 2.0 * (ocx * d[0] + ocy * d[1] + ocz * d[2])
+    cc = ocx * ocx + ocy * ocy + ocz * ocz - r2
+    disc = b * b - 4.0 * a_quad * cc
+    t = (-b - jnp.sqrt(jnp.maximum(disc, 0.0))) / (2.0 * a_quad)
+    return t, (disc >= 0.0) & (t >= t_min)
+
+
 def _min_fold_refs(t_pairs, valid, ids, bt_ref, bi_ref):
     """Fold an (tt, RT) candidate tile into the running best held in VMEM
     scratch refs (row 0). Refs (not loop-carried values) so that culled
@@ -264,18 +314,12 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
 
             def sphere_chunk(k, carry):
                 s = k * tt_s
-                cx = sph_ref[pl.ds(s, tt_s), 0:1]           # (tt, 1)
-                cy = sph_ref[pl.ds(s, tt_s), 1:2]
-                cz = sph_ref[pl.ds(s, tt_s), 2:3]
-                r2 = sph_ref[pl.ds(s, tt_s), 3:4]
-                vld = sph_ref[pl.ds(s, tt_s), 4:5]
-                # quadratic: near root only (wgsl:106-123)
-                ocx, ocy, ocz = ox - cx, oy - cy, oz - cz  # (tt, RT)
-                b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
-                c = ocx * ocx + ocy * ocy + ocz * ocz - r2
-                disc = b * b - 4.0 * a_quad * c
-                t = (-b - jnp.sqrt(jnp.maximum(disc, 0.0))) / (2.0 * a_quad)
-                valid = (disc >= 0.0) & (t >= t_min) & (vld > 0.5) & alive
+                sl = pl.ds(s, tt_s)
+                t, ok = _sphere_pairs(
+                    (sph_ref[sl, 0:1], sph_ref[sl, 1:2], sph_ref[sl, 2:3]),
+                    sph_ref[sl, 3:4], (ox, oy, oz), (dx, dy, dz),
+                    a_quad, t_min)
+                valid = ok & (sph_ref[sl, 4:5] > 0.5) & alive
                 ids = (jax.lax.broadcasted_iota(jnp.int32, (tt_s, RT), 0)
                        + jnp.int32(s))
                 _min_fold_refs(t, valid, ids, bt_ref, bi_ref)
@@ -283,33 +327,15 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
 
             def tri_rows(s, rows):
                 """Möller–Trumbore on ``rows`` triangles starting at row s."""
-                ax = tri_ref[pl.ds(s, rows), 0:1]
-                ay = tri_ref[pl.ds(s, rows), 1:2]
-                az = tri_ref[pl.ds(s, rows), 2:3]
-                e1x = tri_ref[pl.ds(s, rows), 3:4]
-                e1y = tri_ref[pl.ds(s, rows), 4:5]
-                e1z = tri_ref[pl.ds(s, rows), 5:6]
-                e2x = tri_ref[pl.ds(s, rows), 6:7]
-                e2y = tri_ref[pl.ds(s, rows), 7:8]
-                e2z = tri_ref[pl.ds(s, rows), 8:9]
-                nx = tri_ref[pl.ds(s, rows), 9:10]
-                ny = tri_ref[pl.ds(s, rows), 10:11]
-                nz = tri_ref[pl.ds(s, rows), 11:12]
-                # cross/determinant form (wgsl:125-147)
-                aox, aoy, aoz = ox - ax, oy - ay, oz - az      # (rows, RT)
-                det = -(dx * nx + dy * ny + dz * nz)
-                t_num = aox * nx + aoy * ny + aoz * nz
-                daox = aoy * dz - aoz * dy                     # ao × d
-                daoy = aoz * dx - aox * dz
-                daoz = aox * dy - aoy * dx
-                u_num = e2x * daox + e2y * daoy + e2z * daoz
-                v_num = -(e1x * daox + e1y * daoy + e1z * daoz)
-                inv = 1.0 / det
-                t = t_num * inv
-                u = u_num * inv
-                v = v_num * inv
-                valid = ((det >= TRI_DET_EPS) & (t >= t_min)
-                         & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & alive)
+                sl = pl.ds(s, rows)
+                t, ok = _mt_pairs(
+                    (tri_ref[sl, 0:1], tri_ref[sl, 1:2], tri_ref[sl, 2:3]),
+                    (tri_ref[sl, 3:4], tri_ref[sl, 4:5], tri_ref[sl, 5:6]),
+                    (tri_ref[sl, 6:7], tri_ref[sl, 7:8], tri_ref[sl, 8:9]),
+                    (tri_ref[sl, 9:10], tri_ref[sl, 10:11],
+                     tri_ref[sl, 11:12]),
+                    (ox, oy, oz), (dx, dy, dz), t_min)
+                valid = ok & alive
                 ids = (jax.lax.broadcasted_iota(jnp.int32, (rows, RT), 0)
                        + (jnp.int32(SP) + s))
                 _min_fold_refs(t, valid, ids, bt_ref, bi_ref)
@@ -335,19 +361,10 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
                 compact tile frustum × a space-filling curve) contiguous.
                 """
                 C = clu_ref.shape[0]
-                lox, loy, loz = (clu_ref[:, 0:1], clu_ref[:, 1:2],
-                                 clu_ref[:, 2:3])
-                hix, hiy, hiz = (clu_ref[:, 3:4], clu_ref[:, 4:5],
-                                 clu_ref[:, 5:6])
-                t1x, t2x = (lox - ox) * invdx, (hix - ox) * invdx  # (C, RT)
-                t1y, t2y = (loy - oy) * invdy, (hiy - oy) * invdy
-                t1z, t2z = (loz - oz) * invdz, (hiz - oz) * invdz
-                tn = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
-                                             jnp.minimum(t1y, t2y)),
-                                 jnp.maximum(jnp.minimum(t1z, t2z), t_min))
-                tf = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
-                                             jnp.maximum(t1y, t2y)),
-                                 jnp.maximum(t1z, t2z))
+                tn, tf = _slab_test(
+                    (clu_ref[:, 0:1], clu_ref[:, 1:2], clu_ref[:, 2:3]),
+                    (clu_ref[:, 3:4], clu_ref[:, 4:5], clu_ref[:, 5:6]),
+                    (ox, oy, oz), (invdx, invdy, invdz), t_min)  # (C, RT)
                 # initial tightening: spheres already folded into best_t;
                 # all-padding clusters pass the slab test vacuously (see
                 # _cluster_aabbs) — mask them by the real-cluster count
@@ -380,21 +397,10 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
                     def _():
                         # re-test this cluster against the CURRENT best
                         # before paying for its csize×RT MT tile
-                        lox, loy, loz = (clu_ref[c, 0], clu_ref[c, 1],
-                                         clu_ref[c, 2])
-                        hix, hiy, hiz = (clu_ref[c, 3], clu_ref[c, 4],
-                                         clu_ref[c, 5])
-                        t1x, t2x = (lox - ox) * invdx, (hix - ox) * invdx
-                        t1y, t2y = (loy - oy) * invdy, (hiy - oy) * invdy
-                        t1z, t2z = (loz - oz) * invdz, (hiz - oz) * invdz
-                        tn = jnp.maximum(
-                            jnp.maximum(jnp.minimum(t1x, t2x),
-                                        jnp.minimum(t1y, t2y)),
-                            jnp.maximum(jnp.minimum(t1z, t2z), t_min))
-                        tf = jnp.minimum(
-                            jnp.minimum(jnp.maximum(t1x, t2x),
-                                        jnp.maximum(t1y, t2y)),
-                            jnp.maximum(t1z, t2z))
+                        tn, tf = _slab_test(
+                            (clu_ref[c, 0], clu_ref[c, 1], clu_ref[c, 2]),
+                            (clu_ref[c, 3], clu_ref[c, 4], clu_ref[c, 5]),
+                            (ox, oy, oz), (invdx, invdy, invdz), t_min)
                         enter = (tf >= tn) & alive & (tn < bt_ref[0:1, :])
 
                         @pl.when(jnp.any(enter))
@@ -723,21 +729,9 @@ def _make_blocked_kernel(SP: int, TB: int, n_blocks: int, t_min: float,
                 if want_attrs:
                     acc_ref[:, lanes] = jnp.zeros((AR, RT), jnp.float32)
 
-            def sphere_chunk(kk, carry):
-                s = kk * tt_s
-                cx = sph_ref[pl.ds(s, tt_s), 0:1]
-                cy = sph_ref[pl.ds(s, tt_s), 1:2]
-                cz = sph_ref[pl.ds(s, tt_s), 2:3]
-                r2 = sph_ref[pl.ds(s, tt_s), 3:4]
-                vld = sph_ref[pl.ds(s, tt_s), 4:5]
-                ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
-                b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
-                c = ocx * ocx + ocy * ocy + ocz * ocz - r2
-                disc = b * b - 4.0 * a_quad * c
-                t = (-b - jnp.sqrt(jnp.maximum(disc, 0.0))) / (2.0 * a_quad)
-                valid = (disc >= 0.0) & (t >= t_min) & (vld > 0.5) & alive
-                ids = (jax.lax.broadcasted_iota(jnp.int32, (tt_s, RT), 0)
-                       + jnp.int32(s))
+            def fold_lanes(t, valid, ids):
+                """_min_fold_refs with the per-tile lane slice (the
+                running best persists across the k-block sweep)."""
                 t_m = jnp.where(valid, t, jnp.inf)
                 cmin = jnp.min(t_m, axis=0, keepdims=True)
                 cid = jnp.min(jnp.where(t_m == cmin, ids, BIG_ID), axis=0,
@@ -747,62 +741,40 @@ def _make_blocked_kernel(SP: int, TB: int, n_blocks: int, t_min: float,
                 bt_ref[0:1, lanes] = jnp.where(better, cmin, best_t)
                 bi_ref[0:1, lanes] = jnp.where(better, cid,
                                                bi_ref[0:1, lanes])
+
+            def sphere_chunk(kk, carry):
+                s = kk * tt_s
+                sl = pl.ds(s, tt_s)
+                t, ok = _sphere_pairs(
+                    (sph_ref[sl, 0:1], sph_ref[sl, 1:2], sph_ref[sl, 2:3]),
+                    sph_ref[sl, 3:4], (ox, oy, oz), (dx, dy, dz),
+                    a_quad, t_min)
+                valid = ok & (sph_ref[sl, 4:5] > 0.5) & alive
+                ids = (jax.lax.broadcasted_iota(jnp.int32, (tt_s, RT), 0)
+                       + jnp.int32(s))
+                fold_lanes(t, valid, ids)
                 return carry
 
             def tri_rows(s, rows):
-                ax = tri_ref[pl.ds(s, rows), 0:1]
-                ay = tri_ref[pl.ds(s, rows), 1:2]
-                az = tri_ref[pl.ds(s, rows), 2:3]
-                e1x = tri_ref[pl.ds(s, rows), 3:4]
-                e1y = tri_ref[pl.ds(s, rows), 4:5]
-                e1z = tri_ref[pl.ds(s, rows), 5:6]
-                e2x = tri_ref[pl.ds(s, rows), 6:7]
-                e2y = tri_ref[pl.ds(s, rows), 7:8]
-                e2z = tri_ref[pl.ds(s, rows), 8:9]
-                nx = tri_ref[pl.ds(s, rows), 9:10]
-                ny = tri_ref[pl.ds(s, rows), 10:11]
-                nz = tri_ref[pl.ds(s, rows), 11:12]
-                aox, aoy, aoz = ox - ax, oy - ay, oz - az
-                det = -(dx * nx + dy * ny + dz * nz)
-                t_num = aox * nx + aoy * ny + aoz * nz
-                daox = aoy * dz - aoz * dy
-                daoy = aoz * dx - aox * dz
-                daoz = aox * dy - aoy * dx
-                u_num = e2x * daox + e2y * daoy + e2z * daoz
-                v_num = -(e1x * daox + e1y * daoy + e1z * daoz)
-                inv = 1.0 / det
-                t = t_num * inv
-                u = u_num * inv
-                v = v_num * inv
-                valid = ((det >= TRI_DET_EPS) & (t >= t_min)
-                         & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & alive)
+                sl = pl.ds(s, rows)
+                t, ok = _mt_pairs(
+                    (tri_ref[sl, 0:1], tri_ref[sl, 1:2], tri_ref[sl, 2:3]),
+                    (tri_ref[sl, 3:4], tri_ref[sl, 4:5], tri_ref[sl, 5:6]),
+                    (tri_ref[sl, 6:7], tri_ref[sl, 7:8], tri_ref[sl, 8:9]),
+                    (tri_ref[sl, 9:10], tri_ref[sl, 10:11],
+                     tri_ref[sl, 11:12]),
+                    (ox, oy, oz), (dx, dy, dz), t_min)
+                valid = ok & alive
                 ids = (jax.lax.broadcasted_iota(jnp.int32, (rows, RT), 0)
                        + (lo_gid + s))
-                t_m = jnp.where(valid, t, jnp.inf)
-                cmin = jnp.min(t_m, axis=0, keepdims=True)
-                cid = jnp.min(jnp.where(t_m == cmin, ids, BIG_ID), axis=0,
-                              keepdims=True)
-                best_t = bt_ref[0:1, lanes]
-                better = cmin < best_t
-                bt_ref[0:1, lanes] = jnp.where(better, cmin, best_t)
-                bi_ref[0:1, lanes] = jnp.where(better, cid,
-                                               bi_ref[0:1, lanes])
+                fold_lanes(t, valid, ids)
 
             def cluster_prepass():
                 C = clu_ref.shape[0]
-                lox, loy, loz = (clu_ref[:, 0:1], clu_ref[:, 1:2],
-                                 clu_ref[:, 2:3])
-                hix, hiy, hiz = (clu_ref[:, 3:4], clu_ref[:, 4:5],
-                                 clu_ref[:, 5:6])
-                t1x, t2x = (lox - ox) * invdx, (hix - ox) * invdx
-                t1y, t2y = (loy - oy) * invdy, (hiy - oy) * invdy
-                t1z, t2z = (loz - oz) * invdz, (hiz - oz) * invdz
-                tn = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
-                                             jnp.minimum(t1y, t2y)),
-                                 jnp.maximum(jnp.minimum(t1z, t2z), t_min))
-                tf = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
-                                             jnp.maximum(t1y, t2y)),
-                                 jnp.maximum(t1z, t2z))
+                tn, tf = _slab_test(
+                    (clu_ref[:, 0:1], clu_ref[:, 1:2], clu_ref[:, 2:3]),
+                    (clu_ref[:, 3:4], clu_ref[:, 4:5], clu_ref[:, 5:6]),
+                    (ox, oy, oz), (invdx, invdy, invdz), t_min)
                 # mask all-padding clusters (they pass the slab test
                 # vacuously, see _cluster_aabbs): this block's real
                 # clusters are those before the global real count
@@ -830,17 +802,10 @@ def _make_blocked_kernel(SP: int, TB: int, n_blocks: int, t_min: float,
             # 192k tris / 47 blocks a 16×8-pixel tile frustum enters only
             # a few blocks), making the dead-visit cost one (1, RT) op
             # instead of a full per-cluster prepass
-            blox, bloy, bloz = blk_ref[k, 0], blk_ref[k, 1], blk_ref[k, 2]
-            bhix, bhiy, bhiz = blk_ref[k, 3], blk_ref[k, 4], blk_ref[k, 5]
-            b1x, b2x = (blox - ox) * invdx, (bhix - ox) * invdx
-            b1y, b2y = (bloy - oy) * invdy, (bhiy - oy) * invdy
-            b1z, b2z = (bloz - oz) * invdz, (bhiz - oz) * invdz
-            btn = jnp.maximum(jnp.maximum(jnp.minimum(b1x, b2x),
-                                          jnp.minimum(b1y, b2y)),
-                              jnp.maximum(jnp.minimum(b1z, b2z), t_min))
-            btf = jnp.minimum(jnp.minimum(jnp.maximum(b1x, b2x),
-                                          jnp.maximum(b1y, b2y)),
-                              jnp.maximum(b1z, b2z))
+            btn, btf = _slab_test(
+                (blk_ref[k, 0], blk_ref[k, 1], blk_ref[k, 2]),
+                (blk_ref[k, 3], blk_ref[k, 4], blk_ref[k, 5]),
+                (ox, oy, oz), (invdx, invdy, invdz), t_min)
             block_enter = (btf >= btn) & alive & (btn < bt_ref[0:1, lanes])
 
             @pl.when(jnp.any(alive) & (k == 0))
@@ -1166,69 +1131,37 @@ def _make_anyhit_kernel(SP: int, TP: int, t_min: float, t_max: float,
 
             def sphere_chunk(k, carry):
                 s = k * tt_s
-                cx = sph_ref[pl.ds(s, tt_s), 0:1]
-                cy = sph_ref[pl.ds(s, tt_s), 1:2]
-                cz = sph_ref[pl.ds(s, tt_s), 2:3]
-                r2 = sph_ref[pl.ds(s, tt_s), 3:4]
-                vld = sph_ref[pl.ds(s, tt_s), 4:5]
-                ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
-                b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
-                c = ocx * ocx + ocy * ocy + ocz * ocz - r2
-                disc = b * b - 4.0 * a_quad * c
-                t = (-b - jnp.sqrt(jnp.maximum(disc, 0.0))) / (2.0 * a_quad)
-                hit = ((disc >= 0.0) & (t >= t_min) & (t < t_max)
-                       & (vld > 0.5) & alive)
+                sl = pl.ds(s, tt_s)
+                t, ok = _sphere_pairs(
+                    (sph_ref[sl, 0:1], sph_ref[sl, 1:2], sph_ref[sl, 2:3]),
+                    sph_ref[sl, 3:4], (ox, oy, oz), (dx, dy, dz),
+                    a_quad, t_min)
+                hit = ok & (t < t_max) & (sph_ref[sl, 4:5] > 0.5) & alive
                 any_hit = jnp.max(jnp.where(hit, 1.0, 0.0), axis=0,
                                   keepdims=True)
                 blk_ref[0:1, :] = jnp.maximum(blk_ref[0:1, :], any_hit)
                 return carry
 
             def tri_rows(s, rows):
-                ax = tri_ref[pl.ds(s, rows), 0:1]
-                ay = tri_ref[pl.ds(s, rows), 1:2]
-                az = tri_ref[pl.ds(s, rows), 2:3]
-                e1x = tri_ref[pl.ds(s, rows), 3:4]
-                e1y = tri_ref[pl.ds(s, rows), 4:5]
-                e1z = tri_ref[pl.ds(s, rows), 5:6]
-                e2x = tri_ref[pl.ds(s, rows), 6:7]
-                e2y = tri_ref[pl.ds(s, rows), 7:8]
-                e2z = tri_ref[pl.ds(s, rows), 8:9]
-                nx = tri_ref[pl.ds(s, rows), 9:10]
-                ny = tri_ref[pl.ds(s, rows), 10:11]
-                nz = tri_ref[pl.ds(s, rows), 11:12]
-                aox, aoy, aoz = ox - ax, oy - ay, oz - az
-                det = -(dx * nx + dy * ny + dz * nz)
-                t_num = aox * nx + aoy * ny + aoz * nz
-                daox = aoy * dz - aoz * dy
-                daoy = aoz * dx - aox * dz
-                daoz = aox * dy - aoy * dx
-                u_num = e2x * daox + e2y * daoy + e2z * daoz
-                v_num = -(e1x * daox + e1y * daoy + e1z * daoz)
-                inv = 1.0 / det
-                t = t_num * inv
-                u = u_num * inv
-                v = v_num * inv
-                hit = ((det >= TRI_DET_EPS) & (t >= t_min) & (t < t_max)
-                       & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & alive)
+                sl = pl.ds(s, rows)
+                t, ok = _mt_pairs(
+                    (tri_ref[sl, 0:1], tri_ref[sl, 1:2], tri_ref[sl, 2:3]),
+                    (tri_ref[sl, 3:4], tri_ref[sl, 4:5], tri_ref[sl, 5:6]),
+                    (tri_ref[sl, 6:7], tri_ref[sl, 7:8], tri_ref[sl, 8:9]),
+                    (tri_ref[sl, 9:10], tri_ref[sl, 10:11],
+                     tri_ref[sl, 11:12]),
+                    (ox, oy, oz), (dx, dy, dz), t_min)
+                hit = ok & (t < t_max) & alive
                 any_hit = jnp.max(jnp.where(hit, 1.0, 0.0), axis=0,
                                   keepdims=True)
                 blk_ref[0:1, :] = jnp.maximum(blk_ref[0:1, :], any_hit)
 
             def prepass():
                 C = clu_ref.shape[0]
-                lox, loy, loz = (clu_ref[:, 0:1], clu_ref[:, 1:2],
-                                 clu_ref[:, 2:3])
-                hix, hiy, hiz = (clu_ref[:, 3:4], clu_ref[:, 4:5],
-                                 clu_ref[:, 5:6])
-                t1x, t2x = (lox - ox) * invdx, (hix - ox) * invdx
-                t1y, t2y = (loy - oy) * invdy, (hiy - oy) * invdy
-                t1z, t2z = (loz - oz) * invdz, (hiz - oz) * invdz
-                tn = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
-                                             jnp.minimum(t1y, t2y)),
-                                 jnp.maximum(jnp.minimum(t1z, t2z), t_min))
-                tf = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
-                                             jnp.maximum(t1y, t2y)),
-                                 jnp.maximum(t1z, t2z))
+                tn, tf = _slab_test(
+                    (clu_ref[:, 0:1], clu_ref[:, 1:2], clu_ref[:, 2:3]),
+                    (clu_ref[:, 3:4], clu_ref[:, 4:5], clu_ref[:, 5:6]),
+                    (ox, oy, oz), (invdx, invdy, invdz), t_min)
                 # the shadow segment ends at t_max: clusters entirely
                 # beyond it can't block; all-padding clusters are masked
                 # by the real count (vacuous slab pass, _cluster_aabbs)
