@@ -275,13 +275,18 @@ def _min_fold_refs(t_pairs, valid, ids, bt_ref, bi_ref):
 
 def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
                  want_attrs: bool, cfg: KConfig, textured: bool = False,
-                 n_real_clu: int | None = None):
+                 n_real_clu: int | None = None, has_spheres: bool = True):
     n_sph_chunks = SP // tt_s
     RT, csize = cfg.rt, cfg.cluster
     tri_sub = min(cfg.tri_rows, csize)
     AR = 24 if textured else 16      # attr rows (see nearest_hit_attrs_pallas)
     if n_real_clu is None:
         n_real_clu = TP // csize
+    # static elision: a scene with no real spheres (every mesh workload —
+    # sphere arrays are pure padding) skips the quadratic fold + sphere
+    # extraction entirely; likewise sphere-only scenes skip the triangle
+    # prepass/traversal (n_real_clu == 0)
+    has_tris = n_real_clu > 0
 
     def kernel(ray_ref, sph_ref, tri_ref, clu_ref, *outs_and_scratch):
         if want_attrs:
@@ -423,7 +428,10 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
             @pl.when(jnp.any(alive))
             def _():
                 # fully-dead tiles (compacted wavefront tail) skip everything
-                jax.lax.fori_loop(0, n_sph_chunks, sphere_chunk, 0)
+                if has_spheres:
+                    jax.lax.fori_loop(0, n_sph_chunks, sphere_chunk, 0)
+                if not has_tris:
+                    return
                 if cfg.traversal == "nocull":
                     jax.lax.fori_loop(0, TP // csize, nocull_body, 0)
                     return
@@ -559,14 +567,16 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
 
                 @pl.when(jnp.any(alive))
                 def _():
-                    jax.lax.fori_loop(0, n_sph_chunks, sph_extract, 0)
-                    # restrict the chunk sweep to the winners' id range
-                    is_tw = (best_id_v >= SP) & (best_id_v < SP + TP)
-                    c_lo = (jnp.min(jnp.where(is_tw, best_id_v, SP + TP))
-                            - SP) // csize
-                    c_hi = (jnp.max(jnp.where(is_tw, best_id_v, SP))
-                            - SP) // csize
-                    jax.lax.fori_loop(c_lo, c_hi + 1, tri_extract, 0)
+                    if has_spheres:
+                        jax.lax.fori_loop(0, n_sph_chunks, sph_extract, 0)
+                    if has_tris:
+                        # restrict the chunk sweep to the winners' id range
+                        is_tw = (best_id_v >= SP) & (best_id_v < SP + TP)
+                        c_lo = (jnp.min(jnp.where(is_tw, best_id_v,
+                                                  SP + TP)) - SP) // csize
+                        c_hi = (jnp.max(jnp.where(is_tw, best_id_v, SP))
+                                - SP) // csize
+                        jax.lax.fori_loop(c_lo, c_hi + 1, tri_extract, 0)
 
                 attr_out[:, lanes] = acc_ref[:, :]
 
@@ -618,7 +628,8 @@ def _nearest_hit_call(scene: Scene, o, d, t_min, alive, want_attrs,
 
     kernel = _make_kernel(SP, TP, float(t_min), tt_s, want_attrs, cfg,
                           textured,
-                          n_real_clu=-(-scene.num_tris // csize))
+                          n_real_clu=-(-scene.num_tris // csize),
+                          has_spheres=scene.num_spheres > 0)
     out_specs = [
         pl.BlockSpec((8, step), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((8, step), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -673,7 +684,8 @@ def _nearest_hit_call(scene: Scene, o, d, t_min, alive, want_attrs,
 
 def _make_blocked_kernel(SP: int, TB: int, n_blocks: int, t_min: float,
                          tt_s: int, want_attrs: bool, cfg: KConfig,
-                         textured: bool = False, num_real_tris: int = 0):
+                         textured: bool = False, num_real_tris: int = 0,
+                         has_spheres: bool = True):
     """Streaming (tri-blocked) closest-hit kernel body.
 
     Grid is (n_ray_steps, n_tri_blocks) with the TRIANGLE dimension
@@ -808,9 +820,10 @@ def _make_blocked_kernel(SP: int, TB: int, n_blocks: int, t_min: float,
                 (ox, oy, oz), (invdx, invdy, invdz), t_min)
             block_enter = (btf >= btn) & alive & (btn < bt_ref[0:1, lanes])
 
-            @pl.when(jnp.any(alive) & (k == 0))
-            def _():
-                jax.lax.fori_loop(0, n_sph_chunks, sphere_chunk, 0)
+            if has_spheres:
+                @pl.when(jnp.any(alive) & (k == 0))
+                def _():
+                    jax.lax.fori_loop(0, n_sph_chunks, sphere_chunk, 0)
 
             @pl.when(jnp.any(block_enter)
                      & (k * jnp.int32(TB) < jnp.int32(num_real_tris)))
@@ -941,9 +954,11 @@ def _make_blocked_kernel(SP: int, TB: int, n_blocks: int, t_min: float,
                         jnp.broadcast_to(upd_f > 0, (AR, RT)),
                         0.0, acc_ref[:, lanes])
 
-                    @pl.when(jnp.any(has_sph_win))
-                    def _():
-                        jax.lax.fori_loop(0, n_sph_chunks, sph_extract, 0)
+                    if has_spheres:
+                        @pl.when(jnp.any(has_sph_win))
+                        def _():
+                            jax.lax.fori_loop(0, n_sph_chunks,
+                                              sph_extract, 0)
 
                     @pl.when(jnp.any(updated))
                     def _():
@@ -1032,7 +1047,8 @@ def _nearest_hit_blocked_call(scene: Scene, o, d, t_min, alive, want_attrs,
 
     kernel = _make_blocked_kernel(SP, TB, n_blocks, float(t_min), tt_s,
                                   want_attrs, cfg, textured,
-                                  num_real_tris=scene.num_tris)
+                                  num_real_tris=scene.num_tris,
+                                  has_spheres=scene.num_spheres > 0)
     out_specs = [
         pl.BlockSpec((8, step), lambda i, k: (0, i),
                      memory_space=pltpu.VMEM),
@@ -1101,7 +1117,8 @@ def _use_blocked(scene: Scene, cfg: KConfig) -> bool:
 
 def _make_anyhit_kernel(SP: int, TP: int, t_min: float, t_max: float,
                         tt_s: int, cfg: KConfig,
-                        n_real_clu: int | None = None):
+                        n_real_clu: int | None = None,
+                        has_spheres: bool = True):
     """Occlusion (shadow-ray) kernel: is ANY primitive in (t_min, t_max)
     along o + t*d? Early-exits per tile — unlike closest-hit there is no
     best-t to maintain, a single blocking hit settles a lane, and a tile
@@ -1187,12 +1204,13 @@ def _make_anyhit_kernel(SP: int, TP: int, t_min: float, t_max: float,
 
             @pl.when(jnp.any(alive))
             def _():
-                jax.lax.fori_loop(0, n_sph_chunks, sphere_chunk, 0)
-
-                @pl.when(jnp.any(alive & ~(blk_ref[0:1, :] > 0.5)))
-                def _():
-                    first, last = prepass()
-                    jax.lax.fori_loop(first, last + 1, span_body, 0)
+                if has_spheres:
+                    jax.lax.fori_loop(0, n_sph_chunks, sphere_chunk, 0)
+                if n_real_clu > 0:
+                    @pl.when(jnp.any(alive & ~(blk_ref[0:1, :] > 0.5)))
+                    def _():
+                        first, last = prepass()
+                        jax.lax.fori_loop(first, last + 1, span_body, 0)
 
             out[:, lanes] = jnp.broadcast_to(blk_ref[0:1, :], (8, RT))
 
@@ -1230,7 +1248,8 @@ def _anyhit_call(scene: Scene, o, d, t_min, t_max, alive, interpret,
 
     kernel = _make_anyhit_kernel(SP, TP, float(t_min), float(t_max), tt_s,
                                  cfg,
-                                 n_real_clu=-(-scene.num_tris // csize))
+                                 n_real_clu=-(-scene.num_tris // csize),
+                                 has_spheres=scene.num_spheres > 0)
     out = pl.pallas_call(
         kernel,
         grid=(n_steps,),
