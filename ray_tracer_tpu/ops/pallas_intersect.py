@@ -1004,7 +1004,9 @@ def _nearest_hit_blocked_call(scene: Scene, o, d, t_min, alive, want_attrs,
     if TP % cfg.cluster != 0:
         cfg = cfg._replace(cluster=128)
     csize, RT = cfg.cluster, cfg.rt
-    TB = max(csize, (cfg.tri_block // csize) * csize)
+    # >= 8 clusters per block: Mosaic requires the streamed cluster-AABB
+    # block's sublane dim (TB // csize) to be divisible by 8
+    TB = max(8 * csize, (cfg.tri_block // csize) * csize)
 
     step = max(RT, (cfg.blocked_step // RT) * RT)
     cfg = cfg._replace(blocked_step=step)

@@ -20,9 +20,9 @@ from ray_tracer_tpu.ops.pallas_intersect import (KConfig,
 
 INTERPRET = jax.default_backend() != "tpu"
 
-# 128-tri clusters, 128-tri blocks -> every cluster is its own block;
-# forces the multi-block path on any scene with >128 padded tris
-BLOCKED_CFG = KConfig(tri_block=128, blocked="force")
+# 1024-tri blocks (the minimum: Mosaic requires >= 8 clusters per
+# block); multi-block on any scene with > 1024 padded tris
+BLOCKED_CFG = KConfig(tri_block=1024, blocked="force")
 
 
 def _random_rays(n, seed=0, spread=6.0):
@@ -66,14 +66,14 @@ def _check_t_id(scene, o, d, cfg):
 
 
 def test_blocked_matches_oracle_multiblock():
-    scene = _mesh_scene(300)  # 384 padded tris = 3 blocks of 128
-    assert scene.padded_tris // 128 >= 3
+    scene = _mesh_scene(2400)  # 2432 padded tris -> 3 blocks of 1024
+    assert scene.padded_tris // 1024 >= 2
     _check_t_id(scene, *_random_rays(384, seed=11, spread=8.0), BLOCKED_CFG)
 
 
 def test_blocked_matches_resident_kernel():
     """force-blocked and resident kernels agree on the same scene."""
-    scene = _mesh_scene(300)
+    scene = _mesh_scene(2400)
     o, d = _random_rays(256, seed=12, spread=8.0)
     t_a, id_a = nearest_hit_pallas(scene, o, d, interpret=INTERPRET,
                                    cfg=KConfig(blocked="never"))
@@ -86,7 +86,7 @@ def test_blocked_matches_resident_kernel():
 def test_blocked_attrs_winner_replacement():
     """Winner attributes must follow the winner even when a later block
     beats an earlier block's (or a sphere's) best hit."""
-    scene = _mesh_scene(300, seed=5)
+    scene = _mesh_scene(2400, seed=5)
     o, d = _random_rays(384, seed=13, spread=8.0)
     t, pid, attrs = nearest_hit_attrs_pallas(scene, o, d,
                                              interpret=INTERPRET,
@@ -112,7 +112,7 @@ def test_blocked_attrs_winner_replacement():
 def test_blocked_alive_mask_and_padding():
     """Dead lanes return miss; ray counts that don't divide the step pad
     correctly; an all-dead call survives."""
-    scene = _mesh_scene(150, seed=6, with_spheres=False)
+    scene = _mesh_scene(1200, seed=6, with_spheres=False)
     o, d = _random_rays(200, seed=14, spread=8.0)  # 200 % 128 != 0
     alive = jnp.asarray(np.arange(200) % 3 != 0)
     t, pid = nearest_hit_pallas(scene, o, d, alive=alive,
@@ -133,11 +133,11 @@ def test_blocked_occlusion_fallback():
     jnp oracle."""
     import os
     from ray_tracer_tpu.ops.intersect import occluded
-    scene = _mesh_scene(300, seed=9)
+    scene = _mesh_scene(1200, seed=9)
     o, d = _random_rays(256, seed=17, spread=4.0)
     want = np.asarray(occluded(scene, o, d, backend="jnp"))
     os.environ["RTT_BLOCKED"] = "force"
-    os.environ["RTT_TRI_BLOCK"] = "128"
+    os.environ["RTT_TRI_BLOCK"] = "1024"
     try:
         got = np.asarray(occluded(scene, o, d, backend="pallas"))
     finally:
@@ -154,7 +154,7 @@ def test_blocked_textured_fused():
     b = rt.SceneBuilder()
     tex = rng.random((8, 8, 3)).astype(np.float32)
     ti = b.add_texture(tex, srgb=False)
-    for k in range(140):  # >128 so the textured planes span 2 blocks
+    for k in range(1100):  # >1024 so the textured planes span 2 blocks
         c = rng.normal(size=3) * 3.0
         v = c + rng.normal(size=(3, 3))
         n = np.cross(v[1] - v[0], v[2] - v[0])
@@ -170,7 +170,7 @@ def test_blocked_textured_fused():
     import ray_tracer_tpu.ops.pallas_intersect as pi
     import os
     os.environ["RTT_BLOCKED"] = "force"
-    os.environ["RTT_TRI_BLOCK"] = "128"
+    os.environ["RTT_TRI_BLOCK"] = "1024"
     try:
         fused = fused_intersect(scene, o, d, 1e-4, None)
     finally:
