@@ -258,19 +258,21 @@ def _sphere_pairs(c, r2, o, d, a_quad, t_min):
     return t, (disc >= 0.0) & (t >= t_min)
 
 
-def _min_fold_refs(t_pairs, valid, ids, bt_ref, bi_ref):
+def _min_fold_refs(t_pairs, valid, ids, bt_ref, bi_ref, lanes=slice(None)):
     """Fold an (tt, RT) candidate tile into the running best held in VMEM
     scratch refs (row 0). Refs (not loop-carried values) so that culled
     blocks can be @pl.when-predicated — lax.cond over carried vectors gets
-    lowered to select (both branches execute), which defeats culling."""
+    lowered to select (both branches execute), which defeats culling.
+    ``lanes`` selects the scratch lane window (the streaming kernel's
+    per-tile slice of its launch-persistent best)."""
     t_m = jnp.where(valid, t_pairs, jnp.inf)
     cmin = jnp.min(t_m, axis=0, keepdims=True)                  # (1, RT)
     cid = jnp.min(jnp.where(t_m == cmin, ids, BIG_ID), axis=0,
                   keepdims=True)
-    best_t = bt_ref[0:1, :]
+    best_t = bt_ref[0:1, lanes]
     better = cmin < best_t
-    bt_ref[0:1, :] = jnp.where(better, cmin, best_t)
-    bi_ref[0:1, :] = jnp.where(better, cid, bi_ref[0:1, :])
+    bt_ref[0:1, lanes] = jnp.where(better, cmin, best_t)
+    bi_ref[0:1, lanes] = jnp.where(better, cid, bi_ref[0:1, lanes])
 
 
 def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
@@ -742,17 +744,7 @@ def _make_blocked_kernel(SP: int, TB: int, n_blocks: int, t_min: float,
                     acc_ref[:, lanes] = jnp.zeros((AR, RT), jnp.float32)
 
             def fold_lanes(t, valid, ids):
-                """_min_fold_refs with the per-tile lane slice (the
-                running best persists across the k-block sweep)."""
-                t_m = jnp.where(valid, t, jnp.inf)
-                cmin = jnp.min(t_m, axis=0, keepdims=True)
-                cid = jnp.min(jnp.where(t_m == cmin, ids, BIG_ID), axis=0,
-                              keepdims=True)
-                best_t = bt_ref[0:1, lanes]
-                better = cmin < best_t
-                bt_ref[0:1, lanes] = jnp.where(better, cmin, best_t)
-                bi_ref[0:1, lanes] = jnp.where(better, cid,
-                                               bi_ref[0:1, lanes])
+                _min_fold_refs(t, valid, ids, bt_ref, bi_ref, lanes=lanes)
 
             def sphere_chunk(kk, carry):
                 s = kk * tt_s
@@ -1004,9 +996,12 @@ def _nearest_hit_blocked_call(scene: Scene, o, d, t_min, alive, want_attrs,
     if TP % cfg.cluster != 0:
         cfg = cfg._replace(cluster=128)
     csize, RT = cfg.cluster, cfg.rt
-    # >= 8 clusters per block: Mosaic requires the streamed cluster-AABB
-    # block's sublane dim (TB // csize) to be divisible by 8
-    TB = max(8 * csize, (cfg.tri_block // csize) * csize)
+    # Mosaic requires the streamed cluster-AABB block's sublane dim
+    # (TB // csize) to be divisible by 8 — round the per-block cluster
+    # count up to a multiple of 8 (not just a floor of 8: tri_block=1536
+    # would otherwise yield 12)
+    g = max(8, -(-(cfg.tri_block // csize) // 8) * 8)
+    TB = g * csize
 
     step = max(RT, (cfg.blocked_step // RT) * RT)
     cfg = cfg._replace(blocked_step=step)
