@@ -123,21 +123,29 @@ def _safe_normalize(v, eps=1e-24):
     inv = jax.lax.rsqrt(jnp.where(ok, sq, 1.0))
     return jnp.where(ok, v * inv, v)
 
-def _pack_sphere_attrs(scene: Scene):
-    """(S, 12) row-packed sphere attributes: one gather per ray instead of
-    six (TPU gathers cost per-op, not per-byte; scene-only → hoisted out of
-    the bounce scan by XLA)."""
-    return jnp.concatenate([
+def _pack_attrs(scene: Scene):
+    """(S+T, 26|42) row-packed primitive attributes, indexed directly by
+    prim_id: rows [0, S) are spheres (12 used columns, zero-padded), rows
+    [S, S+T) are triangles. ONE table means the winner recompute costs one
+    gather per ray — and, critically, its VJP transpose costs one
+    scatter-add per bounce instead of two (TPU gathers/scatters are
+    row-rate-bound, so halving row ops ≈ halves the backward's cost).
+    Scene-only → hoisted out of the bounce scan by XLA.
+
+    Sphere columns: 0:3 center, 3 radius, 4:7 albedo, 7:10 emission,
+    10 strength, 11 smoothness.
+    Triangle columns: 0:9 v0/v1/v2, 9:18 n0/n1/n2, 18:21 albedo,
+    21:24 emission, 24 strength, 25 smoothness; textured scenes append
+    26:32 uv0/uv1/uv2, 32:38 tan/bitan, 38 tex id, 39 ntex id.
+    """
+    width = 40 if scene.num_textures else 26
+    sp = jnp.concatenate([
         scene.sphere_center, scene.sphere_radius[:, None],
         scene.sphere_albedo, scene.sphere_emission,
         scene.sphere_emission_strength[:, None],
         scene.sphere_smoothness[:, None],
     ], axis=1)
-
-
-def _pack_tri_attrs(scene: Scene):
-    """(T, 26) row-packed triangle attributes (+UV/tangent planes when the
-    scene is textured)."""
+    sp = jnp.pad(sp, ((0, 0), (0, width - sp.shape[1])))
     cols = [
         scene.tri_v0, scene.tri_v1, scene.tri_v2,
         scene.tri_n0, scene.tri_n1, scene.tri_n2,
@@ -150,7 +158,9 @@ def _pack_tri_attrs(scene: Scene):
                  scene.tri_tan, scene.tri_bitan,
                  scene.tri_tex[:, None].astype(jnp.float32),
                  scene.tri_ntex[:, None].astype(jnp.float32)]
-    return jnp.concatenate(cols, axis=1)
+    tp = jnp.concatenate(cols, axis=1)
+    tp = jnp.pad(tp, ((0, 0), (0, width - tp.shape[1])))
+    return jnp.concatenate([sp, tp], axis=0)
 
 
 def _textured_shading(textures, albedo, normal, uv, tex, ntex, tan, bitan,
@@ -186,10 +196,17 @@ def hit_attributes(scene: Scene, o, d, prim_id, miss, t_min):
     """
     S = scene.padded_spheres
     is_tri = prim_id >= S
-    sidx = jnp.clip(prim_id, 0, S - 1)
-    tidx = jnp.clip(prim_id - S, 0, scene.padded_tris - 1)
-    sp = _pack_sphere_attrs(scene)[sidx]       # (R, 12) one gather
-    tp = _pack_tri_attrs(scene)[tidx]          # (R, 26|42) one gather
+    # ONE merged-table gather per ray (and one scatter-add in its VJP
+    # transpose) — each ray reads its winner's row; both the sphere and
+    # triangle recomputes below run on that same row, reinterpreting the
+    # columns per their type, and the per-type results are where-selected.
+    # Cross-type garbage is fine: every recompute is double-where NaN-safe,
+    # and `where` zeroes the unselected branch's cotangents so no gradient
+    # flows through a misread column.
+    ap = _pack_attrs(scene)[
+        jnp.clip(prim_id, 0, S + scene.padded_tris - 1)]  # (R, 26|40)
+    sp = ap
+    tp = ap
 
     # --- sphere recompute (wgsl:106-123) ---------------------------------
     # NaN-safe for autodiff: lanes that actually missed (masked downstream)

@@ -1,0 +1,158 @@
+"""Backward-pass cost breakdown on the bench workload (solo ablations).
+
+Each timing is a separate jitted program run sequentially (never
+concurrently — relay timing rule), synced by pulling ONE small output
+leaf. Run pieces selectively via PROF_ONLY=name1,name2.
+
+Pieces:
+  fwd          plain forward frame (reference point)
+  grad_full    the bench grad step (d/d all float scene leaves)
+  grad_noscene backward with scene cotangents severed (rays-only chain
+               through the bounce scan) — isolates the hit_attributes
+               scene-grad (gather-replay + scatter-add) cost
+  scatter_t    isolated scatter-add of (R,26) rows into (T,26) x4 bounces
+  gather_t     isolated gather of (T,26) rows at winner ids x4 bounces
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timed(name, fn, sync, trials=3):
+    t0 = time.time()
+    sync(fn())
+    compile_s = time.time() - t0
+    dt = float("inf")
+    for _ in range(trials):
+        t0 = time.time()
+        sync(fn())
+        dt = min(dt, time.time() - t0)
+    print(f"{name:14s} {dt*1e3:8.1f} ms  (compile+first {compile_s:.1f}s)",
+          flush=True)
+    return dt
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    from bench import build_workload
+    from ray_tracer_tpu.renderer import camera_basis, render_frame
+
+    only = os.environ.get("PROF_ONLY", "").split(",") if \
+        os.environ.get("PROF_ONLY") else None
+
+    scene, cam, params = build_workload()
+    basis = camera_basis(cam.replace(aspect=params.aspect))
+    R = params.width * params.height
+    T = scene.padded_tris
+    S = scene.padded_spheres
+    print(f"R={R} T={T} S={S} bounces={params.bounces}", flush=True)
+
+    leaves, treedef = jtu.tree_flatten(scene)
+    is_f = [hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
+            for l in leaves]
+    float_leaves = [l for l, m in zip(leaves, is_f) if m]
+
+    def run(name, fn, sync):
+        if only is None or name in only:
+            return timed(name, fn, sync)
+
+    # --- forward reference point ------------------------------------------
+    fwd = jax.jit(lambda: render_frame(scene, basis, params, jnp.int32(0)))
+    run("fwd", fwd, lambda im: np.asarray(im[0, 0]))
+
+    # --- full grad (the bench's step) --------------------------------------
+    target = jax.block_until_ready(
+        jax.jit(lambda: render_frame(scene, basis, params, jnp.int32(1)))())
+
+    @jax.jit
+    def grad_full():
+        def loss_fn(fl):
+            it = iter(fl)
+            merged = [next(it) if m else l for l, m in zip(leaves, is_f)]
+            img = render_frame(jtu.tree_unflatten(treedef, merged), basis,
+                               params, jnp.int32(0))
+            return jnp.mean((img - target) ** 2)
+        return jax.grad(loss_fn)(float_leaves)
+
+    run("grad_full", grad_full, lambda g: np.asarray(g[0].ravel()[0]))
+
+    # --- backward with the scene-grad chain severed -------------------------
+    # monkeypatch the fused bwd to return zero scene grads (keeps the
+    # ray-chain o/d cotangents so the bounce scan still back-propagates)
+    from ray_tracer_tpu.ops import intersect as _it
+
+    def _bwd_noscene(t_min, res, g):
+        scene_r, o, d, prim_id, miss = res
+        _, vjp = jax.vjp(
+            lambda oo, dd: _it.hit_attributes(
+                scene_r, oo, dd, prim_id, miss, t_min), o, d)
+        go, gd = vjp(g)
+        zs = jtu.tree_map(jnp.zeros_like, scene_r)
+        return zs, go, gd, None
+
+    import functools as _ft
+
+    @_ft.partial(jax.custom_vjp, nondiff_argnums=(3,))
+    def fused_ns(scene, o, d, t_min, alive):
+        hit, _, _ = _it._fused_forward(scene, o, d, t_min, alive)
+        return hit
+
+    fused_ns.defvjp(_it._fused_intersect_fwd, _bwd_noscene)
+    orig = _it.fused_intersect
+    # intersect() resolves `fused_intersect` through the module globals at
+    # call time — rebinding the module attr is enough
+    _it.fused_intersect = fused_ns
+
+    @jax.jit
+    def grad_noscene():
+        def loss_fn(fl):
+            it2 = iter(fl)
+            merged = [next(it2) if m else l for l, m in zip(leaves, is_f)]
+            img = render_frame(jtu.tree_unflatten(treedef, merged), basis,
+                               params, jnp.int32(0))
+            return jnp.mean((img - target) ** 2)
+        return jax.grad(loss_fn)(float_leaves)
+
+    run("grad_noscene", grad_noscene, lambda g: np.asarray(g[0].ravel()[0]))
+    _it.fused_intersect = orig
+
+    # --- isolated scatter-add (the gather transpose) ------------------------
+    key = jax.random.PRNGKey(0)
+    # realistic winner distribution: blocked-coherent ids (sorted-ish)
+    ids = jnp.sort(jax.random.randint(key, (R,), 0, T)).astype(jnp.int32)
+    rows = jax.random.normal(key, (R, 26), jnp.float32)
+
+    @jax.jit
+    def scatter_t():
+        def body(acc, _):
+            return acc.at[ids].add(rows), None
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((T, 26), jnp.float32), None,
+            length=params.bounces + 1)
+        return acc
+
+    run("scatter_t", scatter_t, lambda a: np.asarray(a.ravel()[0]))
+
+    packed = jax.random.normal(key, (T, 26), jnp.float32)
+
+    @jax.jit
+    def gather_t():
+        def body(acc, _):
+            return acc + packed[ids].sum(0), None
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((26,), jnp.float32), None,
+            length=params.bounces + 1)
+        return acc
+
+    run("gather_t", gather_t, lambda a: np.asarray(a.ravel()[0]))
+
+
+if __name__ == "__main__":
+    main()
