@@ -123,8 +123,13 @@ def _safe_normalize(v, eps=1e-24):
     inv = jax.lax.rsqrt(jnp.where(ok, sq, 1.0))
     return jnp.where(ok, v * inv, v)
 
+def attr_width(scene: Scene) -> int:
+    """Row width of the merged primitive-attribute table."""
+    return 40 if scene.num_textures else 26
+
+
 def _pack_attrs(scene: Scene):
-    """(S+T, 26|42) row-packed primitive attributes, indexed directly by
+    """(S+T, 26|40) row-packed primitive attributes, indexed directly by
     prim_id: rows [0, S) are spheres (12 used columns, zero-padded), rows
     [S, S+T) are triangles. ONE table means the winner recompute costs one
     gather per ray — and, critically, its VJP transpose costs one
@@ -132,22 +137,29 @@ def _pack_attrs(scene: Scene):
     row-rate-bound, so halving row ops ≈ halves the backward's cost).
     Scene-only → hoisted out of the bounce scan by XLA.
 
-    Sphere columns: 0:3 center, 3 radius, 4:7 albedo, 7:10 emission,
+    The layout matches the Pallas kernels' plane arrays COLUMN FOR COLUMN
+    (pallas_intersect._pack_tris / _pack_spheres) so the in-kernel raw-row
+    extraction and this oracle pack produce bit-identical rows — edges
+    (e1 = v1 − v0) and r² are precomputed here exactly as the planes
+    store them.
+
+    Sphere columns: 0:3 center, 3 radius², 4:7 albedo, 7:10 emission,
     10 strength, 11 smoothness.
-    Triangle columns: 0:9 v0/v1/v2, 9:18 n0/n1/n2, 18:21 albedo,
+    Triangle columns: 0:3 v0, 3:6 e1, 6:9 e2, 9:18 n0/n1/n2, 18:21 albedo,
     21:24 emission, 24 strength, 25 smoothness; textured scenes append
     26:32 uv0/uv1/uv2, 32:38 tan/bitan, 38 tex id, 39 ntex id.
     """
-    width = 40 if scene.num_textures else 26
+    width = attr_width(scene)
     sp = jnp.concatenate([
-        scene.sphere_center, scene.sphere_radius[:, None],
+        scene.sphere_center, (scene.sphere_radius ** 2)[:, None],
         scene.sphere_albedo, scene.sphere_emission,
         scene.sphere_emission_strength[:, None],
         scene.sphere_smoothness[:, None],
     ], axis=1)
     sp = jnp.pad(sp, ((0, 0), (0, width - sp.shape[1])))
     cols = [
-        scene.tri_v0, scene.tri_v1, scene.tri_v2,
+        scene.tri_v0, scene.tri_v1 - scene.tri_v0,
+        scene.tri_v2 - scene.tri_v0,
         scene.tri_n0, scene.tri_n1, scene.tri_n2,
         scene.tri_albedo, scene.tri_emission,
         scene.tri_emission_strength[:, None],
@@ -182,31 +194,24 @@ def _textured_shading(textures, albedo, normal, uv, tex, ntex, tan, bitan,
     return albedo, normal
 
 
-def hit_attributes(scene: Scene, o, d, prim_id, miss, t_min):
-    """Gather the winning primitive and recompute the hit differentiably.
+def hit_attributes_from_rows(scene: Scene, rows, o, d, prim_id, miss, t_min):
+    """Differentiable winner recompute from merged-table rows.
 
-    Args:
-      scene: Scene pytree (differentiable leaves).
-      o, d: ray origins/dirs (R, 3).
-      prim_id: winner indices from stage 1 (detached ints).
-      miss: (R,) bool, True where no primitive was hit.
-      t_min: epsilon (only used to keep recomputed t consistent).
-
-    Returns: Hit.
+    ``rows`` (R, 26|40) are the winners' merged-table rows (_pack_attrs
+    layout) — from the oracle's gather or from the Pallas kernels' in-kernel
+    raw-row extraction, which emit bit-identical values by construction.
+    Both the sphere and triangle recomputes run on every row, reinterpreting
+    the columns per their type, and the per-type results are where-selected
+    by prim_id. Cross-type garbage is fine: every recompute is double-where
+    NaN-safe, and `where` zeroes the unselected branch's cotangents so no
+    gradient flows through a misread column. Miss lanes (all-zero rows on
+    the kernel path, primitive 0's row on the oracle path) get t = 0 and
+    are masked downstream via ``Hit.hit``.
     """
     S = scene.padded_spheres
     is_tri = prim_id >= S
-    # ONE merged-table gather per ray (and one scatter-add in its VJP
-    # transpose) — each ray reads its winner's row; both the sphere and
-    # triangle recomputes below run on that same row, reinterpreting the
-    # columns per their type, and the per-type results are where-selected.
-    # Cross-type garbage is fine: every recompute is double-where NaN-safe,
-    # and `where` zeroes the unselected branch's cotangents so no gradient
-    # flows through a misread column.
-    ap = _pack_attrs(scene)[
-        jnp.clip(prim_id, 0, S + scene.padded_tris - 1)]  # (R, 26|40)
-    sp = ap
-    tp = ap
+    sp = rows
+    tp = rows
 
     # --- sphere recompute (wgsl:106-123) ---------------------------------
     # NaN-safe for autodiff: lanes that actually missed (masked downstream)
@@ -214,11 +219,11 @@ def hit_attributes(scene: Scene, o, d, prim_id, miss, t_min):
     # which `where` masking does NOT stop in the backward pass. The standard
     # double-where makes the untaken branch differentiate a benign constant.
     c = sp[:, 0:3]
-    r = sp[:, 3]
+    r2 = sp[:, 3]                       # radius SQUARED (matches the planes)
     oc = o - c
     a = jnp.sum(d * d, axis=-1)
     b = 2.0 * jnp.sum(oc * d, axis=-1)
-    cc = jnp.sum(oc * oc, axis=-1) - r * r
+    cc = jnp.sum(oc * oc, axis=-1) - r2
     disc = b * b - 4.0 * a * cc
     disc_ok = disc > 0.0
     safe_disc = jnp.where(disc_ok, disc, 1.0)
@@ -227,9 +232,8 @@ def hit_attributes(scene: Scene, o, d, prim_id, miss, t_min):
     n_sphere = _safe_normalize(p_sphere - c)
 
     # --- triangle recompute (wgsl:125-147) --------------------------------
-    v0, v1, v2 = tp[:, 0:3], tp[:, 3:6], tp[:, 6:9]
+    v0, e1, e2 = tp[:, 0:3], tp[:, 3:6], tp[:, 6:9]
     n0, n1, n2 = tp[:, 9:12], tp[:, 12:15], tp[:, 15:18]
-    e1, e2 = v1 - v0, v2 - v0
     ng = jnp.cross(e1, e2)
     ao = o - v0
     dao = jnp.cross(ao, d)
@@ -255,7 +259,7 @@ def hit_attributes(scene: Scene, o, d, prim_id, miss, t_min):
 
     # --- select ------------------------------------------------------------
     it = is_tri[:, None]
-    t = jnp.where(is_tri, t_tri, t_sphere)
+    t = jnp.where(miss, 0.0, jnp.where(is_tri, t_tri, t_sphere))
     normal = jnp.where(it, n_tri, n_sphere)
     point = o + d * t[:, None]
     albedo = jnp.where(it, tri_albedo, sp[:, 4:7])
@@ -272,63 +276,90 @@ def hit_attributes(scene: Scene, o, d, prim_id, miss, t_min):
     )
 
 
+def hit_attributes(scene: Scene, o, d, prim_id, miss, t_min):
+    """Gather the winning primitive and recompute the hit differentiably.
+
+    Args:
+      scene: Scene pytree (differentiable leaves).
+      o, d: ray origins/dirs (R, 3).
+      prim_id: winner indices from stage 1 (detached ints).
+      miss: (R,) bool, True where no primitive was hit.
+      t_min: epsilon (only used to keep recomputed t consistent).
+
+    Returns: Hit.
+
+    ONE merged-table gather per ray (and one scatter-add in its VJP
+    transpose) — each ray reads its winner's row (TPU gathers/scatters are
+    row-rate-bound, so one wide row beats two narrow ones).
+    """
+    S = scene.padded_spheres
+    rows = _pack_attrs(scene)[
+        jnp.clip(prim_id, 0, S + scene.padded_tris - 1)]  # (R, 26|40)
+    return hit_attributes_from_rows(scene, rows, o, d, prim_id, miss, t_min)
+
+
 # ---------------------------------------------------------------------------
-# Fused forward path: in-kernel attribute extraction + jnp backward
+# Fused forward path: in-kernel raw-row extraction + scatter-add backward
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def fused_intersect(scene, o, d, t_min, alive):
-    """Closest hit with attributes extracted INSIDE the Pallas kernel
-    (nearest_hit_attrs_pallas) — replaces the slow XLA winner-gather on the
-    forward path. Differentiable: the backward pass recomputes the winner's
-    attributes with the jnp path (hit_attributes) and chains its VJP, so
-    gradients to scene/ray leaves match the oracle path exactly."""
-    hit, _, _ = _fused_forward(scene, o, d, t_min, alive)
-    return hit
+def _winner_rows(scene, o, d, t_min, alive):
+    """Closest-hit search with the winners' merged-table rows extracted
+    INSIDE the Pallas kernel → (rows (R, 26|40), prim_id, miss).
+
+    Semantically ``rows == _pack_attrs(scene)[prim_id]`` (bit-identical:
+    the kernels' plane arrays store the very same precomputed columns), so
+    this op's Jacobian w.r.t. scene is the gather's — its custom VJP is the
+    hand-written transpose: ONE scatter-add of the row cotangents into the
+    table, then _pack_attrs' (scene-sized, cheap) transpose. No per-ray
+    gather ever runs in the backward pass, unlike replaying
+    hit_attributes (the round-1 scheme): the rows are forward residuals.
+    o/d get zero cotangents (rows don't depend on them — the discrete
+    search is detached by construction); downstream geometry gradients flow
+    through hit_attributes_from_rows via plain autodiff instead.
+    """
+    return _winner_rows_impl(scene, o, d, t_min, alive)
 
 
-def _fused_forward(scene, o, d, t_min, alive):
+def _winner_rows_impl(scene, o, d, t_min, alive):
     from .pallas_intersect import nearest_hit_attrs_pallas
     o_s, d_s = jax.lax.stop_gradient(o), jax.lax.stop_gradient(d)
     scene_s = jax.lax.stop_gradient(scene)
-    best_t, prim_id, attrs = nearest_hit_attrs_pallas(
+    best_t, prim_id, rows = nearest_hit_attrs_pallas(
         scene_s, o_s, d_s, t_min, alive=alive)
-    miss = jnp.isinf(best_t)
-    t = jnp.where(miss, 0.0, best_t)
-    normal = _safe_normalize(attrs[:, 0:3])
-    albedo = attrs[:, 3:6]
-    if scene.num_textures:
-        # the kernel emitted interpolated UVs + texture ids + tangent frame
-        # (attr rows 11-20); only the texture fetch itself stays outside
-        albedo, normal = _textured_shading(
-            scene_s.textures, albedo, normal, attrs[:, 11:13],
-            attrs[:, 13].astype(jnp.int32), attrs[:, 14].astype(jnp.int32),
-            attrs[:, 15:18], attrs[:, 18:21],
-            with_normal_maps=scene.num_normal_maps > 0)
-    hit = Hit(
-        t=t, hit=jnp.logical_not(miss), prim_id=prim_id,
-        point=o_s + d_s * t[:, None],
-        normal=normal, albedo=albedo,
-        emission=attrs[:, 6:9], emission_strength=attrs[:, 9],
-        smoothness=attrs[:, 10])
-    return hit, prim_id, miss
+    return rows, prim_id, jnp.isinf(best_t)
 
 
-def _fused_intersect_fwd(scene, o, d, t_min, alive):
-    hit, prim_id, miss = _fused_forward(scene, o, d, t_min, alive)
-    return hit, (scene, o, d, prim_id, miss)
+def _winner_rows_fwd(scene, o, d, t_min, alive):
+    rows, prim_id, miss = _winner_rows_impl(scene, o, d, t_min, alive)
+    return (rows, prim_id, miss), (scene, o, d, prim_id, miss)
 
 
-def _fused_intersect_bwd(t_min, res, g):
+def _winner_rows_bwd(t_min, res, g):
     scene, o, d, prim_id, miss = res
-    _, vjp = jax.vjp(
-        lambda sc, oo, dd: hit_attributes(sc, oo, dd, prim_id, miss, t_min),
-        scene, o, d)
-    gs, go, gd = vjp(g)
-    return gs, go, gd, None
+    # miss lanes' kernel rows are zero, not primitive 0's row — their
+    # cotangents must not scatter into primitive 0 (they are masked
+    # downstream anyway, but the VJP must match the forward it claims)
+    g_rows = jnp.where(miss[:, None], 0.0, g[0])
+    table, vjp_pack = jax.vjp(_pack_attrs, scene)
+    g_table = jnp.zeros_like(table).at[prim_id].add(g_rows)
+    (gs,) = vjp_pack(g_table)
+    return gs, jnp.zeros_like(o), jnp.zeros_like(d), None
 
 
-fused_intersect.defvjp(_fused_intersect_fwd, _fused_intersect_bwd)
+_winner_rows.defvjp(_winner_rows_fwd, _winner_rows_bwd)
+
+
+def fused_intersect(scene, o, d, t_min, alive):
+    """Closest hit with the winner's merged-table row extracted INSIDE the
+    Pallas kernel (nearest_hit_attrs_pallas) — replaces the slow XLA
+    winner-gather on the forward path — followed by the SAME differentiable
+    recompute as the oracle (hit_attributes_from_rows), as cheap fused
+    elementwise XLA. Gradients match the oracle path exactly: scene
+    gradients flow through _winner_rows' scatter-add VJP, ray/texture
+    gradients through the recompute's plain autodiff."""
+    rows, prim_id, miss = _winner_rows(scene, o, d, t_min, alive)
+    return hit_attributes_from_rows(scene, rows, o, d, prim_id, miss, t_min)
 
 
 # ---------------------------------------------------------------------------

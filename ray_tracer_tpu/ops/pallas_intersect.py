@@ -26,12 +26,15 @@ have):
   * spheres ride an unconditional chunk loop (scenes have few).
 
 prim-id convention matches ops/intersect.py: spheres [0, SP), triangles
-[SP, SP+TP); t=+inf encodes a miss. Winner shading attributes can be
-extracted in-kernel (want_attrs) by one-hot masked sums over only the
-chunks that contain winners — replacing the XLA winner-gather, whose
-per-element cost dwarfs the VPU math. Gradients flow through the jnp
-recompute path (ops.intersect.fused_intersect's custom_vjp), keeping the
-discrete winner detached.
+[SP, SP+TP); t=+inf encodes a miss. The winner's merged-table row
+(intersect._pack_attrs layout) can be extracted in-kernel (want_attrs) by
+one-hot masked sums over only the chunks that contain winners — replacing
+the XLA winner-gather, whose per-element cost dwarfs the VPU math. The
+rows are bit-identical to the oracle's gather; the differentiable
+normal/UV/material recompute runs outside the kernel
+(intersect.hit_attributes_from_rows), and gradients reach the scene
+through intersect._winner_rows' scatter-add VJP, keeping the discrete
+winner detached.
 
 Layout notes (measured, both ways):
   * pair tiles are (prims=sublanes, rays=lanes): per-RAY values are (1, RT)
@@ -189,6 +192,29 @@ def _pack_spheres(scene: Scene):
     ], axis=1)
 
 
+def _attr_copy_maps(textured: bool):
+    """(acc row, plane col) copy maps for the raw-row winner extraction.
+
+    The acc rows ARE the merged-table columns of intersect._pack_attrs
+    (spheres: [c|r²|albedo|emission|es|smooth]; triangles:
+    [v0|e1|e2|n0..n2|albedo|emission|es|smooth(+uv/tan/tex)]); the plane
+    cols follow _pack_spheres/_pack_tris, which carry extra derived columns
+    the merged table omits (sphere `valid` at col 4, the geometric normal
+    at tri cols 9:12)."""
+    sph = list(zip(range(12), (0, 1, 2, 3, 5, 6, 7, 8, 9, 10, 11, 12)))
+    tri = ([(r, r) for r in range(9)]
+           + [(r, r + 3) for r in range(9, 26)])
+    if textured:
+        tri += [(r, r + 6) for r in range(26, 38)] + [(38, 44), (39, 45)]
+    return sph, tri
+
+
+def _attr_rows(textured: bool) -> int:
+    """Kernel attr-output rows: the merged-table width rounded up to the
+    f32 sublane tile (8). Rows past the table width are zero padding."""
+    return 40 if textured else 32
+
+
 def _cluster_aabbs(scene: Scene, csize: int):
     """(C, 8) cluster bounds [lo(3) | hi(3) | pad(2)] over Morton-sorted
     triangle chunks. Invalid (padding) triangles contribute ±inf.
@@ -281,7 +307,8 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
     n_sph_chunks = SP // tt_s
     RT, csize = cfg.rt, cfg.cluster
     tri_sub = min(cfg.tri_rows, csize)
-    AR = 24 if textured else 16      # attr rows (see nearest_hit_attrs_pallas)
+    AR = _attr_rows(textured)        # attr rows (see nearest_hit_attrs_pallas)
+    sph_map, tri_map = _attr_copy_maps(textured)
     if n_real_clu is None:
         n_real_clu = TP // csize
     # static elision: a scene with no real spheres (every mesh workload —
@@ -448,53 +475,28 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
                     jax.lax.fori_loop(first, last + 1, span_body, 0)
 
             if want_attrs:
-                # ---- winner-attribute extraction (one-hot masked sums) ---
-                # Replaces the XLA winner-gather outside the kernel (per-
-                # element gather cost on TPU dwarfs the VPU math). Only
-                # chunks containing a winning id run; coherent tiles touch
-                # few.
+                # ---- winner raw-row extraction (one-hot masked sums) -----
+                # Emits the winner's merged-table row (intersect._pack_attrs
+                # layout) VERBATIM from the plane columns — no in-kernel
+                # recompute; the differentiable normal/UV/material math runs
+                # outside (intersect.hit_attributes_from_rows), bit-identical
+                # to the oracle because the rows are. Replaces the XLA
+                # winner-gather (per-element gather cost on TPU dwarfs the
+                # VPU math). Only chunks containing a winning id run;
+                # coherent tiles touch few.
                 best_id_v = bi_ref[0:1, :]
-                best_t_v = jnp.where(jnp.isinf(bt_ref[0:1, :]), 0.0,
-                                     bt_ref[0:1, :])
-                pxw = ox + best_t_v * dx      # winner hit point (1, RT)
-                pyw = oy + best_t_v * dy
-                pzw = oz + best_t_v * dz
                 acc_ref[:, :] = jnp.zeros((AR, RT), jnp.float32)
 
                 def sph_extract(k, carry):
                     sbase = k * tt_s
                     ids = (jax.lax.broadcasted_iota(
                         jnp.int32, (tt_s, RT), 0) + jnp.int32(sbase))
-                    m = (ids == best_id_v).astype(jnp.float32)   # (tt, RT)
-                    cx = sph_ref[pl.ds(sbase, tt_s), 0:1]
-                    cy = sph_ref[pl.ds(sbase, tt_s), 1:2]
-                    cz = sph_ref[pl.ds(sbase, tt_s), 2:3]
-                    r2 = sph_ref[pl.ds(sbase, tt_s), 3:4]
-                    inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-20))
-                    # outward normal (p − c)/r (wgsl:117)
-                    ok = m > 0
-                    acc_ref[0:1, :] += jnp.sum(
-                        jnp.where(ok, (pxw - cx) * inv_r, 0.0), 0,
-                        keepdims=True)
-                    acc_ref[1:2, :] += jnp.sum(
-                        jnp.where(ok, (pyw - cy) * inv_r, 0.0), 0,
-                        keepdims=True)
-                    acc_ref[2:3, :] += jnp.sum(
-                        jnp.where(ok, (pzw - cz) * inv_r, 0.0), 0,
-                        keepdims=True)
-                    for row, col in ((3, 5), (4, 6), (5, 7),    # albedo
-                                     (6, 8), (7, 9), (8, 10),   # emission
-                                     (9, 11), (10, 12)):        # es, smooth
+                    ok = ids == best_id_v                        # (tt, RT)
+                    for row, col in sph_map:
                         acc_ref[row:row + 1, :] += jnp.sum(
                             jnp.where(ok, sph_ref[pl.ds(sbase, tt_s),
                                                   col:col + 1], 0.0),
                             0, keepdims=True)
-                    if textured:
-                        # sphere winners are untextured: tex = ntex = -1
-                        m_neg = jnp.sum(jnp.where(ok, -1.0, 0.0), 0,
-                                        keepdims=True)
-                        acc_ref[13:14, :] += m_neg
-                        acc_ref[14:15, :] += m_neg
                     return carry
 
                 def tri_extract(c, carry):
@@ -504,67 +506,14 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
 
                     @pl.when(jnp.any(in_chunk))
                     def _():
-                        sbase = c * csize
-                        sl = pl.ds(sbase, csize)
-                        ax, ay, az = (tri_ref[sl, 0:1], tri_ref[sl, 1:2],
-                                      tri_ref[sl, 2:3])
-                        e1x, e1y, e1z = (tri_ref[sl, 3:4], tri_ref[sl, 4:5],
-                                         tri_ref[sl, 5:6])
-                        e2x, e2y, e2z = (tri_ref[sl, 6:7], tri_ref[sl, 7:8],
-                                         tri_ref[sl, 8:9])
-                        nx, ny, nz = (tri_ref[sl, 9:10], tri_ref[sl, 10:11],
-                                      tri_ref[sl, 11:12])
-                        aox, aoy, aoz = ox - ax, oy - ay, oz - az
-                        det = -(dx * nx + dy * ny + dz * nz)
-                        daox = aoy * dz - aoz * dy
-                        daoy = aoz * dx - aox * dz
-                        daoz = aox * dy - aoy * dx
-                        inv = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30,
-                                              det)
-                        u = (e2x * daox + e2y * daoy + e2z * daoz) * inv
-                        v = -(e1x * daox + e1y * daoy + e1z * daoz) * inv
-                        w = 1.0 - u - v
+                        sl = pl.ds(c * csize, csize)
                         ids = (jax.lax.broadcasted_iota(
                             jnp.int32, (csize, RT), 0) + lo_id)
-                        m = (ids == best_id_v).astype(jnp.float32)
-                        # barycentric-blended vertex normals (wgsl:143);
-                        # normalization happens outside
-                        for row, (c0, c1, c2) in enumerate(
-                                ((12, 15, 18), (13, 16, 19), (14, 17, 20))):
-                            blend = (w * tri_ref[sl, c0:c0 + 1]
-                                     + u * tri_ref[sl, c1:c1 + 1]
-                                     + v * tri_ref[sl, c2:c2 + 1])
-                            # where (not m*blend): non-winning rows can hold
-                            # inf barycentrics (det≈0) and 0*inf = NaN
+                        ok = ids == best_id_v
+                        for row, col in tri_map:
                             acc_ref[row:row + 1, :] += jnp.sum(
-                                jnp.where(m > 0, blend, 0.0), 0,
-                                keepdims=True)
-                        for row, col in ((3, 21), (4, 22), (5, 23),
-                                         (6, 24), (7, 25), (8, 26),
-                                         (9, 27), (10, 28)):
-                            acc_ref[row:row + 1, :] += jnp.sum(
-                                jnp.where(m > 0, tri_ref[sl, col:col + 1],
-                                          0.0),
+                                jnp.where(ok, tri_ref[sl, col:col + 1], 0.0),
                                 0, keepdims=True)
-                        if textured:
-                            # interpolated UV (rows 11-12) + texture ids
-                            # (13-14) + tangent frame (15-20); plane cols
-                            # per _pack_tris(textured=True)
-                            for row, (c0, c1, c2) in ((11, (32, 34, 36)),
-                                                      (12, (33, 35, 37))):
-                                uvb = (w * tri_ref[sl, c0:c0 + 1]
-                                       + u * tri_ref[sl, c1:c1 + 1]
-                                       + v * tri_ref[sl, c2:c2 + 1])
-                                acc_ref[row:row + 1, :] += jnp.sum(
-                                    jnp.where(m > 0, uvb, 0.0), 0,
-                                    keepdims=True)
-                            for row, col in ((13, 44), (14, 45),  # tex, ntex
-                                             (15, 38), (16, 39), (17, 40),
-                                             (18, 41), (19, 42), (20, 43)):
-                                acc_ref[row:row + 1, :] += jnp.sum(
-                                    jnp.where(m > 0,
-                                              tri_ref[sl, col:col + 1], 0.0),
-                                    0, keepdims=True)
                     return carry
 
                 @pl.when(jnp.any(alive))
@@ -626,7 +575,7 @@ def _nearest_hit_call(scene: Scene, o, d, t_min, alive, want_attrs,
     tri = _pack_tris(scene, textured)                            # (TP, 32|48)
     clu = _cluster_aabbs(scene, csize)                           # (C, 8)
     TW = tri.shape[1]
-    AR = 24 if textured else 16
+    AR = _attr_rows(textured)
 
     kernel = _make_kernel(SP, TP, float(t_min), tt_s, want_attrs, cfg,
                           textured,
@@ -679,7 +628,9 @@ def _nearest_hit_call(scene: Scene, o, d, t_min, alive, want_attrs,
 
     if want_attrs:
         t_out, id_out, attr_out = outs
-        return t_out[0, :R], id_out[0, :R], attr_out[:, :R].T
+        # slice off the sublane-tile padding rows (AR -> merged-table width)
+        width = 40 if textured else 26
+        return t_out[0, :R], id_out[0, :R], attr_out[:width, :R].T
     t_out, id_out = outs
     return t_out[0, :R], id_out[0, :R]
 
@@ -710,7 +661,8 @@ def _make_blocked_kernel(SP: int, TB: int, n_blocks: int, t_min: float,
     RT, csize = cfg.rt, cfg.cluster
     tri_sub = min(cfg.tri_rows, csize)
     n_sph_chunks = SP // tt_s
-    AR = 24 if textured else 16
+    AR = _attr_rows(textured)
+    sph_map, tri_map = _attr_copy_maps(textured)
 
     def kernel(ray_ref, sph_ref, tri_ref, clu_ref, blk_ref,
                *outs_and_scratch):
@@ -830,44 +782,17 @@ def _make_blocked_kernel(SP: int, TB: int, n_blocks: int, t_min: float,
 
             if want_attrs:
                 best_id_v = bi_ref[0:1, lanes]
-                best_t_v = jnp.where(jnp.isinf(bt_ref[0:1, lanes]), 0.0,
-                                     bt_ref[0:1, lanes])
-                pxw = ox + best_t_v * dx
-                pyw = oy + best_t_v * dy
-                pzw = oz + best_t_v * dz
 
                 def sph_extract(kk, carry):
                     sbase = kk * tt_s
                     ids = (jax.lax.broadcasted_iota(
                         jnp.int32, (tt_s, RT), 0) + jnp.int32(sbase))
-                    m = (ids == best_id_v).astype(jnp.float32)
-                    cx = sph_ref[pl.ds(sbase, tt_s), 0:1]
-                    cy = sph_ref[pl.ds(sbase, tt_s), 1:2]
-                    cz = sph_ref[pl.ds(sbase, tt_s), 2:3]
-                    r2 = sph_ref[pl.ds(sbase, tt_s), 3:4]
-                    inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-20))
-                    ok = m > 0
-                    acc_ref[0:1, lanes] += jnp.sum(
-                        jnp.where(ok, (pxw - cx) * inv_r, 0.0), 0,
-                        keepdims=True)
-                    acc_ref[1:2, lanes] += jnp.sum(
-                        jnp.where(ok, (pyw - cy) * inv_r, 0.0), 0,
-                        keepdims=True)
-                    acc_ref[2:3, lanes] += jnp.sum(
-                        jnp.where(ok, (pzw - cz) * inv_r, 0.0), 0,
-                        keepdims=True)
-                    for row, col in ((3, 5), (4, 6), (5, 7),
-                                     (6, 8), (7, 9), (8, 10),
-                                     (9, 11), (10, 12)):
+                    ok = ids == best_id_v
+                    for row, col in sph_map:
                         acc_ref[row:row + 1, lanes] += jnp.sum(
                             jnp.where(ok, sph_ref[pl.ds(sbase, tt_s),
                                                   col:col + 1], 0.0),
                             0, keepdims=True)
-                    if textured:
-                        m_neg = jnp.sum(jnp.where(ok, -1.0, 0.0), 0,
-                                        keepdims=True)
-                        acc_ref[13:14, lanes] += m_neg
-                        acc_ref[14:15, lanes] += m_neg
                     return carry
 
                 def tri_extract(c, carry):
@@ -878,58 +803,13 @@ def _make_blocked_kernel(SP: int, TB: int, n_blocks: int, t_min: float,
                     @pl.when(jnp.any(in_chunk))
                     def _():
                         sl = pl.ds(c * csize, csize)
-                        ax, ay, az = (tri_ref[sl, 0:1], tri_ref[sl, 1:2],
-                                      tri_ref[sl, 2:3])
-                        e1x, e1y, e1z = (tri_ref[sl, 3:4], tri_ref[sl, 4:5],
-                                         tri_ref[sl, 5:6])
-                        e2x, e2y, e2z = (tri_ref[sl, 6:7], tri_ref[sl, 7:8],
-                                         tri_ref[sl, 8:9])
-                        nx, ny, nz = (tri_ref[sl, 9:10], tri_ref[sl, 10:11],
-                                      tri_ref[sl, 11:12])
-                        aox, aoy, aoz = ox - ax, oy - ay, oz - az
-                        det = -(dx * nx + dy * ny + dz * nz)
-                        daox = aoy * dz - aoz * dy
-                        daoy = aoz * dx - aox * dz
-                        daoz = aox * dy - aoy * dx
-                        inv = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30,
-                                              det)
-                        u = (e2x * daox + e2y * daoy + e2z * daoz) * inv
-                        v = -(e1x * daox + e1y * daoy + e1z * daoz) * inv
-                        w = 1.0 - u - v
                         ids = (jax.lax.broadcasted_iota(
                             jnp.int32, (csize, RT), 0) + lo_id)
-                        m = (ids == best_id_v).astype(jnp.float32)
-                        for row, (c0, c1, c2) in enumerate(
-                                ((12, 15, 18), (13, 16, 19), (14, 17, 20))):
-                            blend = (w * tri_ref[sl, c0:c0 + 1]
-                                     + u * tri_ref[sl, c1:c1 + 1]
-                                     + v * tri_ref[sl, c2:c2 + 1])
+                        ok = ids == best_id_v
+                        for row, col in tri_map:
                             acc_ref[row:row + 1, lanes] += jnp.sum(
-                                jnp.where(m > 0, blend, 0.0), 0,
-                                keepdims=True)
-                        for row, col in ((3, 21), (4, 22), (5, 23),
-                                         (6, 24), (7, 25), (8, 26),
-                                         (9, 27), (10, 28)):
-                            acc_ref[row:row + 1, lanes] += jnp.sum(
-                                jnp.where(m > 0, tri_ref[sl, col:col + 1],
-                                          0.0),
+                                jnp.where(ok, tri_ref[sl, col:col + 1], 0.0),
                                 0, keepdims=True)
-                        if textured:
-                            for row, (c0, c1, c2) in ((11, (32, 34, 36)),
-                                                      (12, (33, 35, 37))):
-                                uvb = (w * tri_ref[sl, c0:c0 + 1]
-                                       + u * tri_ref[sl, c1:c1 + 1]
-                                       + v * tri_ref[sl, c2:c2 + 1])
-                                acc_ref[row:row + 1, lanes] += jnp.sum(
-                                    jnp.where(m > 0, uvb, 0.0), 0,
-                                    keepdims=True)
-                            for row, col in ((13, 44), (14, 45),
-                                             (15, 38), (16, 39), (17, 40),
-                                             (18, 41), (19, 42), (20, 43)):
-                                acc_ref[row:row + 1, lanes] += jnp.sum(
-                                    jnp.where(m > 0,
-                                              tri_ref[sl, col:col + 1], 0.0),
-                                    0, keepdims=True)
                     return carry
 
                 # incremental: lanes whose winner lives in THIS block are
@@ -1031,7 +911,7 @@ def _nearest_hit_blocked_call(scene: Scene, o, d, t_min, alive, want_attrs,
         ], axis=0)
     n_blocks = TPp // TB
     TW = tri.shape[1]
-    AR = 24 if textured else 16
+    AR = _attr_rows(textured)
 
     # whole-block AABBs from the (padded) cluster AABBs; all-padding
     # blocks inherit ±inf bounds and are never entered
@@ -1096,7 +976,9 @@ def _nearest_hit_blocked_call(scene: Scene, o, d, t_min, alive, want_attrs,
 
     if want_attrs:
         t_out, id_out, attr_out = outs
-        return t_out[0, :R], id_out[0, :R], attr_out[:, :R].T
+        # slice off the sublane-tile padding rows (AR -> merged-table width)
+        width = 40 if textured else 26
+        return t_out[0, :R], id_out[0, :R], attr_out[:width, :R].T
     t_out, id_out = outs
     return t_out[0, :R], id_out[0, :R]
 
@@ -1315,15 +1197,15 @@ def nearest_hit_pallas(scene: Scene, o, d, t_min=1e-4, alive=None,
 
 def nearest_hit_attrs_pallas(scene: Scene, o, d, t_min=1e-4, alive=None,
                              interpret=False, cfg: KConfig | None = None):
-    """Closest hit PLUS winner shading attributes extracted in-kernel:
-    returns (t (R,), prim_id (R,), attrs (R, 16|24)) with attr columns
-    [normal(3, unnormalized blend) | albedo(3) | emission(3) |
-    emission_strength | smoothness | pad(5)]; textured scenes get 24
-    columns, replacing the pad with [uv(2) | tex | ntex | tan(3) |
-    bitan(3) | pad(3)] (sphere winners: tex = ntex = -1). Replaces the XLA
-    winner-gather (hit_attributes) on the forward path; see
-    intersect.fused_intersect for the custom_vjp that keeps training
-    differentiable."""
+    """Closest hit PLUS the winner's merged-table row extracted in-kernel:
+    returns (t (R,), prim_id (R,), rows (R, 26|40)) where rows follow
+    intersect._pack_attrs column for column — bit-identical to
+    ``_pack_attrs(scene)[prim_id]`` on hit lanes (the plane arrays store
+    the same precomputed columns), all-zero on miss lanes. Replaces the
+    XLA winner-gather (hit_attributes) on the forward path; the
+    differentiable recompute runs outside (hit_attributes_from_rows), and
+    intersect._winner_rows' custom VJP turns the row cotangents into one
+    scatter-add."""
     cfg = cfg or env_config()
     call = (_nearest_hit_blocked_call if _use_blocked(scene, cfg)
             else _nearest_hit_call)

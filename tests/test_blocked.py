@@ -84,29 +84,27 @@ def test_blocked_matches_resident_kernel():
 
 
 def test_blocked_attrs_winner_replacement():
-    """Winner attributes must follow the winner even when a later block
-    beats an earlier block's (or a sphere's) best hit."""
+    """Winner rows must follow the winner even when a later block beats an
+    earlier block's (or a sphere's) best hit: the incrementally extracted
+    merged-table rows must equal the oracle gather BIT FOR BIT (same
+    prim_id ⇒ the kernel copies the very plane columns _pack_attrs packs),
+    and miss lanes must emit all-zero rows."""
+    from ray_tracer_tpu.ops.intersect import _pack_attrs
     scene = _mesh_scene(2400, seed=5)
     o, d = _random_rays(384, seed=13, spread=8.0)
-    t, pid, attrs = nearest_hit_attrs_pallas(scene, o, d,
-                                             interpret=INTERPRET,
-                                             cfg=BLOCKED_CFG)
+    t, pid, rows = nearest_hit_attrs_pallas(scene, o, d,
+                                            interpret=INTERPRET,
+                                            cfg=BLOCKED_CFG)
     t_ref, id_ref = nearest_hit_jnp(scene, o, d, 1e-4)
-    ref = hit_attributes(scene, o, d, id_ref, jnp.isinf(t_ref), 1e-4)
-    m = np.asarray(ref.hit)
-    assert m.sum() > 30
-    # normals: blocked kernel emits the unnormalized barycentric blend
-    a_n = np.asarray(attrs[:, 0:3])
-    a_n = a_n / np.maximum(np.linalg.norm(a_n, axis=1, keepdims=True), 1e-12)
-    ref_n = np.asarray(ref.normal)
-    np.testing.assert_allclose(np.abs((a_n[m] * ref_n[m]).sum(1)), 1.0,
-                               atol=1e-4)
-    np.testing.assert_allclose(np.asarray(attrs[:, 3:6])[m],
-                               np.asarray(ref.albedo)[m], rtol=5e-4,
-                               atol=2e-5)
-    np.testing.assert_allclose(np.asarray(attrs[:, 10])[m],
-                               np.asarray(ref.smoothness)[m], rtol=5e-4,
-                               atol=2e-5)
+    hitm = np.isfinite(np.asarray(t_ref))
+    assert hitm.sum() > 30
+    want = np.asarray(_pack_attrs(scene))[np.asarray(id_ref)]
+    # id ties at equal t may pick a different (equally near) winner; the
+    # row contract is per-id, so compare where the ids agree (≈ all lanes)
+    same = hitm & (np.asarray(pid) == np.asarray(id_ref))
+    assert same.sum() > 30
+    np.testing.assert_array_equal(np.asarray(rows)[same], want[same])
+    np.testing.assert_array_equal(np.asarray(rows)[~hitm], 0.0)
 
 
 def test_blocked_alive_mask_and_padding():

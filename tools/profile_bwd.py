@@ -84,31 +84,30 @@ def main():
     run("grad_full", grad_full, lambda g: np.asarray(g[0].ravel()[0]))
 
     # --- backward with the scene-grad chain severed -------------------------
-    # monkeypatch the fused bwd to return zero scene grads (keeps the
-    # ray-chain o/d cotangents so the bounce scan still back-propagates)
+    # monkeypatch the winner-rows bwd to return zero scene grads (skips the
+    # scatter-add + pack transpose; the ray-chain cotangents through
+    # hit_attributes_from_rows' plain autodiff still back-propagate)
     from ray_tracer_tpu.ops import intersect as _it
 
     def _bwd_noscene(t_min, res, g):
         scene_r, o, d, prim_id, miss = res
-        _, vjp = jax.vjp(
-            lambda oo, dd: _it.hit_attributes(
-                scene_r, oo, dd, prim_id, miss, t_min), o, d)
-        go, gd = vjp(g)
-        zs = jtu.tree_map(jnp.zeros_like, scene_r)
-        return zs, go, gd, None
+        # constant-zero cotangent through pack's vjp: XLA folds the whole
+        # thing away, leaving only correctly-typed zero scene cotangents
+        table, vjp_pack = jax.vjp(_it._pack_attrs, scene_r)
+        (zs,) = vjp_pack(jnp.zeros_like(table))
+        return zs, jnp.zeros_like(o), jnp.zeros_like(d), None
 
     import functools as _ft
 
     @_ft.partial(jax.custom_vjp, nondiff_argnums=(3,))
-    def fused_ns(scene, o, d, t_min, alive):
-        hit, _, _ = _it._fused_forward(scene, o, d, t_min, alive)
-        return hit
+    def rows_ns(scene, o, d, t_min, alive):
+        return _it._winner_rows_impl(scene, o, d, t_min, alive)
 
-    fused_ns.defvjp(_it._fused_intersect_fwd, _bwd_noscene)
-    orig = _it.fused_intersect
-    # intersect() resolves `fused_intersect` through the module globals at
+    rows_ns.defvjp(_it._winner_rows_fwd, _bwd_noscene)
+    orig = _it._winner_rows
+    # fused_intersect resolves `_winner_rows` through the module globals at
     # call time — rebinding the module attr is enough
-    _it.fused_intersect = fused_ns
+    _it._winner_rows = rows_ns
 
     @jax.jit
     def grad_noscene():
@@ -121,7 +120,7 @@ def main():
         return jax.grad(loss_fn)(float_leaves)
 
     run("grad_noscene", grad_noscene, lambda g: np.asarray(g[0].ravel()[0]))
-    _it.fused_intersect = orig
+    _it._winner_rows = orig
 
     # --- isolated scatter-add (the gather transpose) ------------------------
     key = jax.random.PRNGKey(0)
