@@ -141,3 +141,53 @@ def test_renderer_uses_fused_and_matches_jnp():
     a = np.asarray(render_frame(scene, basis, p_j, jnp.int32(0)))
     b = np.asarray(render_frame(scene, basis, p_p, jnp.int32(0)))
     np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-4)
+
+
+def test_fused_bitexact_same_winner():
+    """With raw-row extraction the fused path and the oracle share the SAME
+    recompute (hit_attributes_from_rows) on BIT-IDENTICAL rows, so every
+    Hit field must match exactly (not allclose) wherever the winner ids
+    agree (they can differ only on exact-t ties)."""
+    scene, _ = rt.builtin_scene("room", pad=128)
+    o, d = _rand_rays(384, seed=7)
+    fused = fused_intersect(scene, o, d, 1e-4, None)
+    t_ref, pid = nearest_hit_jnp(scene, o, d, 1e-4)
+    ref = hit_attributes(scene, o, d, pid, jnp.isinf(t_ref), 1e-4)
+    same = (np.asarray(ref.hit)
+            & (np.asarray(fused.prim_id) == np.asarray(pid)))
+    assert same.sum() > 50
+    for field in ("t", "point", "normal", "albedo", "emission",
+                  "emission_strength", "smoothness"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(fused, field))[same],
+            np.asarray(getattr(ref, field))[same], err_msg=field)
+
+
+def test_winner_rows_vjp_is_gather_transpose():
+    """_winner_rows' hand-written backward (scatter-add + pack transpose)
+    must equal the autodiff transpose of the oracle's table gather, leaf
+    for leaf, with miss-lane cotangents zeroed on both sides."""
+    from ray_tracer_tpu.ops.intersect import _pack_attrs, _winner_rows
+    scene, _ = rt.builtin_scene("room", pad=128)
+    o, d = _rand_rays(256, seed=8)
+    rows, pid, miss = _winner_rows(scene, o, d, 1e-4, None)
+    rng = np.random.default_rng(9)
+    g_rows = jnp.asarray(rng.normal(size=rows.shape), jnp.float32)
+    g_rows = jnp.where(miss[:, None], 0.0, g_rows)
+
+    _, vjp = jax.vjp(lambda sc: _winner_rows(sc, o, d, 1e-4, None)[0], scene)
+    (gs,) = vjp(g_rows)
+    _, vjp_ref = jax.vjp(lambda sc: _pack_attrs(sc)[pid], scene)
+    (gs_ref,) = vjp_ref(g_rows)
+
+    got = jax.tree_util.tree_leaves(gs)
+    want = jax.tree_util.tree_leaves(gs_ref)
+    assert len(got) == len(want)
+    nonzero = 0
+    for a, b in zip(got, want):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype.kind != "f":   # int leaves carry float0 cotangents
+            continue
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+        nonzero += bool(np.any(a))
+    assert nonzero >= 4  # vertices, normals, albedo, emission... all flow
