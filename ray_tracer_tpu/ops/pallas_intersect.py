@@ -120,6 +120,13 @@ class KConfig(NamedTuple):
     # move ~25 GB. Tiles inside a step ride a dynamic fori_loop (not a
     # static unroll) to keep Mosaic compile time flat.
     blocked_step: int = 8192
+    # Per-step block lists (scalar-prefetch grid): an XLA-side conservative
+    # slab test picks, for every ray step, WHICH triangle blocks any live
+    # ray enters; the kernel's tri/cluster index maps then visit only those
+    # (list padded by repeating the last entry — an unchanged index elides
+    # the block re-DMA), so a dead (step, block) visit costs one scalar
+    # compare instead of DMA + slab machinery.
+    block_lists: bool = True
 
 
 def env_config() -> KConfig:
@@ -134,6 +141,7 @@ def env_config() -> KConfig:
         tri_block=int(os.environ.get("RTT_TRI_BLOCK", "8192")),
         blocked=os.environ.get("RTT_BLOCKED", "auto"),
         blocked_step=int(os.environ.get("RTT_BLOCKED_STEP", "8192")),
+        block_lists=os.environ.get("RTT_BLOCK_LISTS", "1") != "0",
     )
 
 
@@ -638,7 +646,7 @@ def _nearest_hit_call(scene: Scene, o, d, t_min, alive, want_attrs,
 def _make_blocked_kernel(SP: int, TB: int, n_blocks: int, t_min: float,
                          tt_s: int, want_attrs: bool, cfg: KConfig,
                          textured: bool = False, num_real_tris: int = 0,
-                         has_spheres: bool = True):
+                         has_spheres: bool = True, use_lists: bool = False):
     """Streaming (tri-blocked) closest-hit kernel body.
 
     Grid is (n_ray_steps, n_tri_blocks) with the TRIANGLE dimension
@@ -664,15 +672,30 @@ def _make_blocked_kernel(SP: int, TB: int, n_blocks: int, t_min: float,
     AR = _attr_rows(textured)
     sph_map, tri_map = _attr_copy_maps(textured)
 
-    def kernel(ray_ref, sph_ref, tri_ref, clu_ref, blk_ref,
-               *outs_and_scratch):
+    def kernel(*refs):
+        if use_lists:
+            bl_ref, cnt_ref, *refs = refs
+        ray_ref, sph_ref, tri_ref, clu_ref, blk_ref, *outs_and_scratch = refs
         if want_attrs:
             (t_out, id_out, attr_out, bt_ref, bi_ref, flag_ref,
              acc_ref) = outs_and_scratch
         else:
             t_out, id_out, bt_ref, bi_ref, flag_ref = outs_and_scratch
-        k = pl.program_id(1)
-        lo_gid = jnp.int32(SP) + k * jnp.int32(TB)
+        # j is the grid position (drives init / final-write scheduling);
+        # kb is the triangle block actually resident in tri_ref/clu_ref —
+        # with lists they differ: kb = bl[i, j], and visits past the
+        # step's entered-block count are dead (repeated kb, no re-DMA)
+        j = pl.program_id(1)
+        if use_lists:
+            kb = bl_ref[pl.program_id(0), j]
+            tri_live = j < cnt_ref[pl.program_id(0)]
+        else:
+            kb = j
+            # fully-padded blocks (kb·TB beyond the real triangle count)
+            # are skipped: their ±inf block AABB does not fail the slab
+            # test on its own
+            tri_live = j * jnp.int32(TB) < jnp.int32(num_real_tris)
+        lo_gid = jnp.int32(SP) + kb * jnp.int32(TB)
 
         def one_tile(L):
             # L is a traced lane offset (dynamic tile loop): aligned
@@ -688,7 +711,7 @@ def _make_blocked_kernel(SP: int, TB: int, n_blocks: int, t_min: float,
             invdy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
             invdz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
 
-            @pl.when(k == 0)
+            @pl.when(j == 0)
             def _():
                 bt_ref[0:1, lanes] = jnp.full((1, RT), jnp.inf, jnp.float32)
                 bi_ref[0:1, lanes] = jnp.full((1, RT), BIG_ID, jnp.int32)
@@ -736,8 +759,8 @@ def _make_blocked_kernel(SP: int, TB: int, n_blocks: int, t_min: float,
                 # clusters are those before the global real count
                 cidx = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
                 local_limit = jnp.clip(
-                    jnp.int32(-(-num_real_tris // csize)) - k * jnp.int32(C),
-                    0, C)
+                    jnp.int32(-(-num_real_tris // csize))
+                    - kb * jnp.int32(C), 0, C)
                 enter = ((tf >= tn) & alive & (tn < bt_ref[0:1, lanes])
                          & (cidx < local_limit))
                 flag = jnp.max(jnp.where(enter, 1, 0), axis=1, keepdims=True)
@@ -759,24 +782,21 @@ def _make_blocked_kernel(SP: int, TB: int, n_blocks: int, t_min: float,
             # a few blocks), making the dead-visit cost one (1, RT) op
             # instead of a full per-cluster prepass
             btn, btf = _slab_test(
-                (blk_ref[k, 0], blk_ref[k, 1], blk_ref[k, 2]),
-                (blk_ref[k, 3], blk_ref[k, 4], blk_ref[k, 5]),
+                (blk_ref[kb, 0], blk_ref[kb, 1], blk_ref[kb, 2]),
+                (blk_ref[kb, 3], blk_ref[kb, 4], blk_ref[kb, 5]),
                 (ox, oy, oz), (invdx, invdy, invdz), t_min)
             block_enter = (btf >= btn) & alive & (btn < bt_ref[0:1, lanes])
 
             if has_spheres:
-                @pl.when(jnp.any(alive) & (k == 0))
+                @pl.when(jnp.any(alive) & (j == 0))
                 def _():
                     jax.lax.fori_loop(0, n_sph_chunks, sphere_chunk, 0)
 
-            @pl.when(jnp.any(block_enter)
-                     & (k * jnp.int32(TB) < jnp.int32(num_real_tris)))
+            @pl.when(jnp.any(block_enter) & tri_live)
             def _():
                 # per-block cluster prepass; an all-culled block (first >
                 # last) never touches its triangles — the mid level of
-                # the hierarchy. Fully-padded blocks (k·TB beyond the
-                # real triangle count) are skipped statically: their ±inf
-                # block AABB does not fail the slab test on its own.
+                # the hierarchy.
                 first, last = cluster_prepass()
                 jax.lax.fori_loop(first, last + 1, span_body, 0)
 
@@ -815,8 +835,9 @@ def _make_blocked_kernel(SP: int, TB: int, n_blocks: int, t_min: float,
                 # incremental: lanes whose winner lives in THIS block are
                 # zeroed and re-extracted; everyone else's attrs persist
                 updated = ((best_id_v >= lo_gid)
-                           & (best_id_v < lo_gid + jnp.int32(TB)))
-                has_sph_win = (best_id_v < jnp.int32(SP)) & (k == 0)
+                           & (best_id_v < lo_gid + jnp.int32(TB))
+                           & tri_live)
+                has_sph_win = (best_id_v < jnp.int32(SP)) & (j == 0)
 
                 @pl.when(jnp.any(alive) & (jnp.any(updated)
                                            | jnp.any(has_sph_win)))
@@ -843,27 +864,77 @@ def _make_blocked_kernel(SP: int, TB: int, n_blocks: int, t_min: float,
                         jax.lax.fori_loop(c_lo, jnp.minimum(
                             c_hi + 1, TB // csize), tri_extract, 0)
 
-                @pl.when(k == n_blocks - 1)
-                def _():
-                    attr_out[:, lanes] = acc_ref[:, lanes]
-
-            @pl.when(k == n_blocks - 1)
-            def _():
-                best_t, best_id = bt_ref[0:1, lanes], bi_ref[0:1, lanes]
-                t_out[:, lanes] = jnp.broadcast_to(best_t, (8, RT))
-                id_out[:, lanes] = jnp.broadcast_to(
-                    jnp.where(best_id == BIG_ID, jnp.int32(0), best_id),
-                    (8, RT))
+        def out_tile(L):
+            """Final-visit output flush for the tile at lane offset L
+            (reads only the launch-persistent scratch)."""
+            lanes = pl.ds(pl.multiple_of(L, RT), RT)
+            if want_attrs:
+                attr_out[:, lanes] = acc_ref[:, lanes]
+            best_t, best_id = bt_ref[0:1, lanes], bi_ref[0:1, lanes]
+            t_out[:, lanes] = jnp.broadcast_to(best_t, (8, RT))
+            id_out[:, lanes] = jnp.broadcast_to(
+                jnp.where(best_id == BIG_ID, jnp.int32(0), best_id),
+                (8, RT))
 
         n_tiles = cfg.blocked_step // RT
 
-        def tile_body(j, carry):
-            one_tile(j * RT)
-            return carry
+        # dead visits (list entries past the step's count, or fully-padded
+        # trailing blocks on the dense grid) reduce to these two scalar
+        # branches — no ray loads, no slab tests, no tile loop
+        @pl.when(tri_live | (j == 0))
+        def _():
+            jax.lax.fori_loop(0, n_tiles,
+                              lambda jt, c: (one_tile(jt * RT), c)[1], 0)
 
-        jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+        @pl.when(j == n_blocks - 1)
+        def _():
+            jax.lax.fori_loop(0, n_tiles,
+                              lambda jt, c: (out_tile(jt * RT), c)[1], 0)
 
     return kernel
+
+
+def _block_lists(rays, blk, n_steps, step, n_blocks, TB, num_real_tris,
+                 t_min):
+    """Per-ray-step triangle-block visit lists for the scalar-prefetch
+    streaming grid → (bl (n_steps, n_blocks) i32, cnt (n_steps,) i32).
+
+    ``bl[i, :cnt[i]]`` are the ascending indices of blocks ANY live ray in
+    step i enters (t_min-clamped slab test — a conservative superset of the
+    kernel's per-visit test, which also tightens by the running best-t);
+    entries past the count repeat the last entered block, so the kernel's
+    dynamic index map holds still and Pallas skips the block re-DMA.
+    Cost: one fused (Rp,)-wide slab test per block (lax.map keeps the
+    temporaries at (Rp,), not (n_blocks, Rp)) — ~n_blocks · Rp · 32 B of
+    traffic, amortized over the whole launch it gates.
+    """
+    o = (rays[0], rays[1], rays[2])
+    d = (rays[3], rays[4], rays[5])
+    alive = rays[6] > 0.5
+    invd = tuple(1.0 / jnp.where(dd == 0.0, 1e-30, dd) for dd in d)
+
+    def one_block(row):                                    # row: (8,)
+        tn, tf = _slab_test((row[0], row[1], row[2]),
+                            (row[3], row[4], row[5]), o, invd, t_min)
+        enter = (tf >= tn) & alive                         # (Rp,)
+        return jnp.any(enter.reshape(n_steps, step), axis=1)
+
+    ent = jax.lax.map(one_block, blk).T                    # (n_steps, nb)
+    # all-padding blocks pass the slab test vacuously (±inf bounds — see
+    # _cluster_aabbs); mask them by the static real-block count
+    nb_real = -(-num_real_tris // TB)
+    idx = jnp.arange(n_blocks, dtype=jnp.int32)
+    ent = ent & (idx[None, :] < nb_real)
+    # ascending entered indices first (Morton block order = near-to-far-ish
+    # spatial order, same as the dense sweep), then repeats of the last
+    key = jnp.where(ent, idx[None, :], n_blocks + idx[None, :])
+    order = jnp.sort(key, axis=1).astype(jnp.int32)
+    cnt = ent.sum(axis=1).astype(jnp.int32)
+    entered = jnp.where(order < n_blocks, order, 0)
+    last = jnp.take_along_axis(entered,
+                               jnp.maximum(cnt - 1, 0)[:, None], axis=1)
+    bl = jnp.where(idx[None, :] < cnt[:, None], entered, last)
+    return bl, cnt
 
 
 @functools.partial(jax.jit, static_argnames=("t_min", "want_attrs",
@@ -922,15 +993,28 @@ def _nearest_hit_blocked_call(scene: Scene, o, d, t_min, alive, want_attrs,
         jnp.zeros((n_blocks, 2), jnp.float32),
     ], axis=1)
 
+    use_lists = cfg.block_lists and n_blocks > 1
     kernel = _make_blocked_kernel(SP, TB, n_blocks, float(t_min), tt_s,
                                   want_attrs, cfg, textured,
                                   num_real_tris=scene.num_tris,
-                                  has_spheres=scene.num_spheres > 0)
+                                  has_spheres=scene.num_spheres > 0,
+                                  use_lists=use_lists)
+    nsp = 2 if use_lists else 0   # index maps gain the scalar-prefetch refs
+
+    def ray_map(i, k, *_):
+        return (0, i)
+
+    def fix_map(i, k, *_):
+        return (0, 0)
+
+    def blk_map(i, k, *s):
+        # with lists, the resident triangle block is bl[i, k] (repeated
+        # past the step's count → Pallas skips the re-DMA); without, k
+        return (s[0][i, k], 0) if s else (k, 0)
+
     out_specs = [
-        pl.BlockSpec((8, step), lambda i, k: (0, i),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, step), lambda i, k: (0, i),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, step), ray_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, step), ray_map, memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((8, Rp), jnp.float32),
@@ -942,37 +1026,51 @@ def _nearest_hit_blocked_call(scene: Scene, o, d, t_min, alive, want_attrs,
         pltpu.VMEM((TB // csize, 128), jnp.int32),  # cluster-enter flags
     ]
     if want_attrs:
-        out_specs.append(pl.BlockSpec((AR, step), lambda i, k: (0, i),
+        out_specs.append(pl.BlockSpec((AR, step), ray_map,
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((AR, Rp), jnp.float32))
         scratch.append(pltpu.VMEM((AR, step), jnp.float32))
 
-    outs = pl.pallas_call(
-        kernel,
-        grid=(n_steps, n_blocks),
-        in_specs=[
-            pl.BlockSpec((8, step), lambda i, k: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((SP, 16), lambda i, k: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, TW), lambda i, k: (k, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB // csize, 8), lambda i, k: (k, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_blocks, 8), lambda i, k: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=scratch,
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=Rp * (SP * 25 + TPp * 45),
-            bytes_accessed=(Rp * 8 * 4 + SP * 64
-                            + n_steps * TPp * 128 * 4 + Rp * 8),
-            transcendentals=0,
-        ),
-    )(rays, sph, tri, clu, blk)
+    in_specs = [
+        pl.BlockSpec((8, step), ray_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((SP, 16), fix_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, TW), blk_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB // csize, 8), blk_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_blocks, 8), fix_map, memory_space=pltpu.VMEM),
+    ]
+    cost = pl.CostEstimate(
+        flops=Rp * (SP * 25 + TPp * 45),
+        bytes_accessed=(Rp * 8 * 4 + SP * 64
+                        + n_steps * TPp * 128 * 4 + Rp * 8),
+        transcendentals=0,
+    )
+    if use_lists:
+        bl, cnt = _block_lists(rays, blk, n_steps, step, n_blocks, TB,
+                               scene.num_tris, float(t_min))
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=nsp,
+                grid=(n_steps, n_blocks),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=scratch,
+            ),
+            out_shape=out_shape,
+            interpret=interpret,
+            cost_estimate=cost,
+        )(bl, cnt, rays, sph, tri, clu, blk)
+    else:
+        outs = pl.pallas_call(
+            kernel,
+            grid=(n_steps, n_blocks),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            interpret=interpret,
+            cost_estimate=cost,
+        )(rays, sph, tri, clu, blk)
 
     if want_attrs:
         t_out, id_out, attr_out = outs

@@ -182,3 +182,51 @@ def test_blocked_textured_fused():
         np.testing.assert_allclose(np.asarray(getattr(fused, field))[m],
                                    np.asarray(getattr(ref, field))[m],
                                    rtol=5e-4, atol=2e-5, err_msg=field)
+
+
+def test_block_lists_match_dense_grid():
+    """The scalar-prefetch block-list grid must agree exactly with the
+    dense (every-block) grid — including winner rows and with a partial
+    alive mask (t/id: array-equal; the conservative host-side slab test
+    may only add visits, never remove folds)."""
+    scene = _mesh_scene(2400, seed=5)
+    o, d = _random_rays(384, seed=13, spread=8.0)
+    alive = jnp.asarray(np.arange(384) % 5 != 0)
+    dense = KConfig(tri_block=1024, blocked="force", block_lists=False)
+    lists = KConfig(tri_block=1024, blocked="force", block_lists=True)
+    t_a, id_a, rows_a = nearest_hit_attrs_pallas(
+        scene, o, d, alive=alive, interpret=INTERPRET, cfg=dense)
+    t_b, id_b, rows_b = nearest_hit_attrs_pallas(
+        scene, o, d, alive=alive, interpret=INTERPRET, cfg=lists)
+    np.testing.assert_array_equal(np.asarray(t_a), np.asarray(t_b))
+    np.testing.assert_array_equal(np.asarray(id_a), np.asarray(id_b))
+    np.testing.assert_array_equal(np.asarray(rows_a), np.asarray(rows_b))
+
+
+def test_block_lists_helper_properties():
+    """_block_lists invariants: entered indices ascending and real, padding
+    repeats the last entry, zero-entry steps yield cnt=0."""
+    from ray_tracer_tpu.ops.pallas_intersect import _block_lists
+    rng = np.random.default_rng(3)
+    n_steps, step, n_blocks, TB = 4, 256, 6, 1024
+    rays = np.zeros((8, n_steps * step), np.float32)
+    rays[0:3] = rng.normal(size=(3, n_steps * step)) * 5
+    rays[3:6] = rng.normal(size=(3, n_steps * step))
+    rays[6] = 1.0
+    rays[6, :step] = 0.0            # step 0 fully dead -> no blocks
+    blk = np.zeros((n_blocks, 8), np.float32)
+    for k in range(n_blocks):
+        c = rng.normal(size=3) * 6
+        blk[k, 0:3], blk[k, 3:6] = c - 1.5, c + 1.5
+    blk[5, 0:3], blk[5, 3:6] = np.inf, -np.inf   # padding block
+    bl, cnt = _block_lists(jnp.asarray(rays), jnp.asarray(blk), n_steps,
+                           step, n_blocks, TB, num_real_tris=5 * TB,
+                           t_min=1e-4)
+    bl, cnt = np.asarray(bl), np.asarray(cnt)
+    assert cnt[0] == 0 and (bl[0] == 0).all()
+    for i in range(n_steps):
+        row, c = bl[i], cnt[i]
+        assert (row[:c] < 5).all()                     # padding block never
+        assert (np.diff(row[:c]) > 0).all()            # ascending, unique
+        if c:
+            assert (row[c:] == row[c - 1]).all()       # repeat-pad
