@@ -342,7 +342,17 @@ def _winner_rows_bwd(t_min, res, g):
     # downstream anyway, but the VJP must match the forward it claims)
     g_rows = jnp.where(miss[:, None], 0.0, g[0])
     table, vjp_pack = jax.vjp(_pack_attrs, scene)
-    g_table = jnp.zeros_like(table).at[prim_id].add(g_rows)
+    from .pallas_intersect import env_config, scatter_rows_pallas, \
+        _use_blocked
+    if _use_blocked(scene, env_config()):
+        # streaming-size scene: the VMEM-resident scatter table won't fit
+        g_table = jnp.zeros_like(table).at[prim_id].add(g_rows)
+    else:
+        # MXU one-hot scatter (~4x the XLA scatter's row rate); miss lanes
+        # route to the out-of-range id and are dropped in-kernel
+        n_rows = table.shape[0]
+        ids = jnp.where(miss, n_rows, prim_id)
+        g_table = scatter_rows_pallas(ids, g_rows, n_rows)
     (gs,) = vjp_pack(g_table)
     return gs, jnp.zeros_like(o), jnp.zeros_like(d), None
 

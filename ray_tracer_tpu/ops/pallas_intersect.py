@@ -1081,6 +1081,116 @@ def _nearest_hit_blocked_call(scene: Scene, o, d, t_min, alive, want_attrs,
     return t_out[0, :R], id_out[0, :R]
 
 
+def _make_scatter_kernel(Pp: int, WO: int, n_steps: int, cfg: KConfig):
+    """Body for scatter_rows_pallas: accumulate per-ray cotangent rows into
+    the (Pp, WO) table output, which stays VMEM-resident across the ray-step
+    grid (constant output index = the Pallas reduction pattern).
+
+    Per 128-row table chunk containing any of the tile's ids, the update is
+    ONE one-hot MXU contraction  m(csize, RT) @ g(RT, WO)  instead of WO
+    per-row masked sums or an XLA scatter (row-rate-bound, ~40 ms per 2M
+    rows). precision=HIGHEST: default-precision bf16 would round the
+    cotangents to 8 mantissa bits (see the NEE one-hot note in
+    docs/PERF_NOTES.md); with f32 inputs the products are exact and the
+    MXU accumulates in f32.
+    """
+    RT = cfg.rt
+    csize = 128
+    n_chunks = Pp // csize
+
+    def kernel(ids_ref, g_ref, out_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[:, :] = jnp.zeros_like(out_ref)
+
+        def one_tile(L):
+            lanes = pl.ds(pl.multiple_of(L, RT), RT)
+            ids_v = ids_ref[0:1, lanes]                      # (1, RT)
+            g_blk = g_ref[lanes, :]                          # (RT, WO)
+            valid = ids_v < Pp          # miss/dead lanes carry id >= Pp
+
+            def chunk(c, carry):
+                base = c * csize
+                in_chunk = (ids_v >= base) & (ids_v < base + csize)
+
+                @pl.when(jnp.any(in_chunk))
+                def _():
+                    ids2 = (jax.lax.broadcasted_iota(
+                        jnp.int32, (csize, RT), 0) + base)
+                    m = (ids2 == ids_v).astype(jnp.float32)  # (csize, RT)
+                    upd = jax.lax.dot_general(
+                        m, g_blk, (((1,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)  # (csize, WO)
+                    out_ref[pl.ds(base, csize), :] += upd
+                return carry
+
+            # restrict the chunk sweep to the tile's id range (coherent
+            # tiles touch few chunks; an all-miss tile sweeps nothing)
+            c_lo = jnp.min(jnp.where(valid, ids_v, Pp)) // csize
+            c_hi = jnp.max(jnp.where(valid, ids_v, 0)) // csize
+
+            @pl.when(jnp.any(valid))
+            def _():
+                jax.lax.fori_loop(c_lo, jnp.minimum(c_hi + 1, n_chunks),
+                                  chunk, 0)
+
+        jax.lax.fori_loop(0, cfg.step_tiles,
+                          lambda jt, c: (one_tile(jt * RT), c)[1], 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "interpret", "cfg"))
+def _scatter_rows_call(ids, g_rows, n_rows, interpret, cfg: KConfig):
+    R, W = g_rows.shape
+    RT = cfg.rt
+    step = RT * cfg.step_tiles
+    n_steps = -(-R // step)
+    Rp = n_steps * step
+    Pp = -(-n_rows // 128) * 128
+    WO = -(-W // 8) * 8
+    # rows 1-7 pad the id block to the f32/i32 sublane tile; padded ray
+    # lanes carry id = Pp (ignored by the in-kernel valid mask)
+    ids8 = jnp.pad(ids[None, :], ((0, 7), (0, Rp - R)),
+                   constant_values=Pp)
+    g = jnp.pad(g_rows, ((0, Rp - R), (0, WO - W)))
+
+    out = pl.pallas_call(
+        _make_scatter_kernel(Pp, WO, n_steps, cfg),
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((8, step), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((step, WO), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Pp, WO), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Pp, WO), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=Rp * 128 * WO * 2,
+            bytes_accessed=Rp * (4 + WO * 4) + Pp * WO * 4,
+            transcendentals=0,
+        ),
+    )(ids8, g)
+    return out[:n_rows, :W]
+
+
+def scatter_rows_pallas(prim_id, g_rows, n_rows: int, interpret=False,
+                        cfg: KConfig | None = None):
+    """MXU scatter-add: ``zeros((n_rows, W)).at[prim_id].add(g_rows)`` for
+    the winner-row VJP transpose. Lanes with ``prim_id`` outside
+    [0, n_rows) are dropped (the caller maps miss lanes there). The table
+    must fit VMEM (resident-scene sizes; callers fall back to the XLA
+    scatter otherwise — see intersect._winner_rows_bwd)."""
+    return _scatter_rows_call(prim_id, g_rows, n_rows,
+                              _auto_interpret(interpret), cfg or env_config())
+
+
 def _use_blocked(scene: Scene, cfg: KConfig) -> bool:
     """Streaming path selection: the packed triangle planes cost
     TP × 128 lanes × 4 B of VMEM (lane padding); past the budget the

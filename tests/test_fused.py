@@ -191,3 +191,19 @@ def test_winner_rows_vjp_is_gather_transpose():
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
         nonzero += bool(np.any(a))
     assert nonzero >= 4  # vertices, normals, albedo, emission... all flow
+
+
+def test_scatter_rows_kernel_matches_xla_scatter():
+    """The MXU one-hot scatter must equal .at[ids].add exactly-ish
+    (f32 sum order may differ) including dropped out-of-range lanes,
+    duplicate ids, and non-multiple-of-step ray counts."""
+    from ray_tracer_tpu.ops.pallas_intersect import scatter_rows_pallas
+    rng = np.random.default_rng(11)
+    R, P, W = 700, 300, 26          # P not a multiple of 128
+    ids = jnp.asarray(rng.integers(0, P + 1, size=R), jnp.int32)  # P = drop
+    g = jnp.asarray(rng.normal(size=(R, W)), jnp.float32)
+    got = np.asarray(scatter_rows_pallas(ids, g, P))
+    keep = np.asarray(ids) < P
+    want = np.zeros((P, W), np.float32)
+    np.add.at(want, np.asarray(ids)[keep], np.asarray(g)[keep])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
