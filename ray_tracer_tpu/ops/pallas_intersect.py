@@ -120,6 +120,13 @@ class KConfig(NamedTuple):
     # move ~25 GB. Tiles inside a step ride a dynamic fori_loop (not a
     # static unroll) to keep Mosaic compile time flat.
     blocked_step: int = 8192
+    # Winner-row extraction flavor in the RESIDENT kernel: "sum" = one
+    # masked sum per merged-table column (26|40 VPU reductions per winner
+    # chunk); "mxu" = ONE one-hot contraction  planesᵀ(TW, csize) @
+    # m(csize, RT)  per winner chunk at precision=HIGHEST (exact: one
+    # nonzero per output sum), then 26|40 single-vreg row adds. A/B knob —
+    # flip the default once measured on hardware.
+    extract: str = "sum"
     # Per-step block lists (scalar-prefetch grid): an XLA-side conservative
     # slab test picks, for every ray step, WHICH triangle blocks any live
     # ray enters; the kernel's tri/cluster index maps then visit only those
@@ -141,6 +148,7 @@ def env_config() -> KConfig:
         tri_block=int(os.environ.get("RTT_TRI_BLOCK", "8192")),
         blocked=os.environ.get("RTT_BLOCKED", "auto"),
         blocked_step=int(os.environ.get("RTT_BLOCKED_STEP", "8192")),
+        extract=os.environ.get("RTT_EXTRACT", "sum"),
         block_lists=os.environ.get("RTT_BLOCK_LISTS", "1") != "0",
     )
 
@@ -518,10 +526,23 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
                         ids = (jax.lax.broadcasted_iota(
                             jnp.int32, (csize, RT), 0) + lo_id)
                         ok = ids == best_id_v
-                        for row, col in tri_map:
-                            acc_ref[row:row + 1, :] += jnp.sum(
-                                jnp.where(ok, tri_ref[sl, col:col + 1], 0.0),
-                                0, keepdims=True)
+                        if cfg.extract == "mxu":
+                            # one one-hot contraction replaces the per-
+                            # column masked sums (see KConfig.extract)
+                            rows_all = jax.lax.dot_general(
+                                tri_ref[sl, :], ok.astype(jnp.float32),
+                                (((0,), (0,)), ((), ())),
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32)
+                            for row, col in tri_map:
+                                acc_ref[row:row + 1, :] += \
+                                    rows_all[col:col + 1, :]
+                        else:
+                            for row, col in tri_map:
+                                acc_ref[row:row + 1, :] += jnp.sum(
+                                    jnp.where(ok, tri_ref[sl, col:col + 1],
+                                              0.0),
+                                    0, keepdims=True)
                     return carry
 
                 @pl.when(jnp.any(alive))

@@ -207,3 +207,19 @@ def test_scatter_rows_kernel_matches_xla_scatter():
     want = np.zeros((P, W), np.float32)
     np.add.at(want, np.asarray(ids)[keep], np.asarray(g)[keep])
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_mxu_extraction_matches_sum():
+    """extract="mxu" (one-hot contraction) must produce the same winner
+    rows as the masked-sum extraction — exact: one nonzero per output."""
+    from ray_tracer_tpu.ops.pallas_intersect import (
+        KConfig, nearest_hit_attrs_pallas)
+    scene, _ = rt.builtin_scene("room", pad=128)
+    o, d = _rand_rays(384, seed=10)
+    t_a, id_a, rows_a = nearest_hit_attrs_pallas(
+        scene, o, d, cfg=KConfig(extract="sum"))
+    t_b, id_b, rows_b = nearest_hit_attrs_pallas(
+        scene, o, d, cfg=KConfig(extract="mxu"))
+    np.testing.assert_array_equal(np.asarray(t_a), np.asarray(t_b))
+    np.testing.assert_array_equal(np.asarray(id_a), np.asarray(id_b))
+    np.testing.assert_array_equal(np.asarray(rows_a), np.asarray(rows_b))
