@@ -112,11 +112,15 @@ def main():
                              backend="pallas", coherent_scatter=True)
     segs = W * H * (params.bounces + 1)
 
-    for tb in (int(x) for x in
-               (sys.argv[4].split(",") if len(sys.argv) > 4
-                else ("4096", "8192"))):
+    # argv[4]: comma-separated tri_block specs, each optionally suffixed
+    # ":nolists" to A/B the dense grid vs the scalar-prefetch block lists
+    for spec in (sys.argv[4].split(",") if len(sys.argv) > 4
+                 else ("4096", "8192")):
+        tb, _, flag = spec.partition(":")
+        tb = int(tb)
         import os
         os.environ["RTT_TRI_BLOCK"] = str(tb)
+        os.environ["RTT_BLOCK_LISTS"] = "0" if flag == "nolists" else "1"
         try:
             @jax.jit
             def looped(o, d, s):
@@ -127,7 +131,7 @@ def main():
                                       length=REPS)
                 return jnp.full((8, 128), acc)
 
-            log(f"compiling tri_block={tb}")
+            log(f"compiling {spec}")
             t0 = time.time()
             out = np.asarray(looped(oc, dc, st))
             assert np.isfinite(out).all()
@@ -137,10 +141,10 @@ def main():
                 t0 = time.time()
                 np.asarray(looped(oc, dc, st))
                 dt = min(dt, (time.time() - t0) / REPS)
-            log(f"RESULT tri_block={tb}: {dt*1e3:8.1f} ms/frame "
+            log(f"RESULT {spec}: {dt*1e3:8.1f} ms/frame "
                 f"{segs/dt/1e6:6.1f} M segs/s")
         finally:
-            del os.environ["RTT_TRI_BLOCK"]
+            del os.environ["RTT_TRI_BLOCK"], os.environ["RTT_BLOCK_LISTS"]
 
 
 if __name__ == "__main__":
