@@ -1102,7 +1102,7 @@ def _nearest_hit_blocked_call(scene: Scene, o, d, t_min, alive, want_attrs,
     return t_out[0, :R], id_out[0, :R]
 
 
-def _make_scatter_kernel(Pp: int, WO: int, n_steps: int, cfg: KConfig):
+def _make_scatter_kernel(Pp: int, WO: int, cfg: KConfig):
     """Body for scatter_rows_pallas: accumulate per-ray cotangent rows into
     the (Pp, WO) table output, which stays VMEM-resident across the ray-step
     grid (constant output index = the Pallas reduction pattern).
@@ -1124,7 +1124,7 @@ def _make_scatter_kernel(Pp: int, WO: int, n_steps: int, cfg: KConfig):
 
         @pl.when(i == 0)
         def _():
-            out_ref[:, :] = jnp.zeros_like(out_ref)
+            out_ref[:, :] = jnp.zeros((Pp, WO), jnp.float32)
 
         def one_tile(L):
             lanes = pl.ds(pl.multiple_of(L, RT), RT)
@@ -1180,7 +1180,7 @@ def _scatter_rows_call(ids, g_rows, n_rows, interpret, cfg: KConfig):
     g = jnp.pad(g_rows, ((0, Rp - R), (0, WO - W)))
 
     out = pl.pallas_call(
-        _make_scatter_kernel(Pp, WO, n_steps, cfg),
+        _make_scatter_kernel(Pp, WO, cfg),
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec((8, step), lambda i: (0, i),
