@@ -123,9 +123,15 @@ def _safe_normalize(v, eps=1e-24):
     inv = jax.lax.rsqrt(jnp.where(ok, sq, 1.0))
     return jnp.where(ok, v * inv, v)
 
+def merged_width(textured: bool) -> int:
+    """THE width of the merged primitive-attribute table (single source —
+    the Pallas kernels' attr outputs and slicing derive from it)."""
+    return 40 if textured else 26
+
+
 def attr_width(scene: Scene) -> int:
-    """Row width of the merged primitive-attribute table."""
-    return 40 if scene.num_textures else 26
+    """Row width of the merged primitive-attribute table for a scene."""
+    return merged_width(scene.num_textures > 0)
 
 
 def _pack_attrs(scene: Scene):

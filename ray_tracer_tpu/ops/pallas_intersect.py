@@ -62,6 +62,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..scene import Scene
+from .intersect import merged_width
 
 SPH_TT = 256      # spheres per chunk
 BIG_ID = 2 ** 30  # plain int: jnp scalars would be captured as consts
@@ -228,7 +229,7 @@ def _attr_copy_maps(textured: bool):
 def _attr_rows(textured: bool) -> int:
     """Kernel attr-output rows: the merged-table width rounded up to the
     f32 sublane tile (8). Rows past the table width are zero padding."""
-    return 40 if textured else 32
+    return -(-merged_width(textured) // 8) * 8
 
 
 def _cluster_aabbs(scene: Scene, csize: int):
@@ -320,6 +321,11 @@ def _min_fold_refs(t_pairs, valid, ids, bt_ref, bi_ref, lanes=slice(None)):
 def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
                  want_attrs: bool, cfg: KConfig, textured: bool = False,
                  n_real_clu: int | None = None, has_spheres: bool = True):
+    if cfg.extract not in ("sum", "mxu"):
+        raise ValueError(f"KConfig.extract must be 'sum' or 'mxu', got "
+                         f"{cfg.extract!r}")
+    if cfg.traversal not in ("span", "centerout", "nocull", "prepassonly"):
+        raise ValueError(f"unknown KConfig.traversal {cfg.traversal!r}")
     n_sph_chunks = SP // tt_s
     RT, csize = cfg.rt, cfg.cluster
     tri_sub = min(cfg.tri_rows, csize)
@@ -658,8 +664,8 @@ def _nearest_hit_call(scene: Scene, o, d, t_min, alive, want_attrs,
     if want_attrs:
         t_out, id_out, attr_out = outs
         # slice off the sublane-tile padding rows (AR -> merged-table width)
-        width = 40 if textured else 26
-        return t_out[0, :R], id_out[0, :R], attr_out[:width, :R].T
+        return (t_out[0, :R], id_out[0, :R],
+                attr_out[:merged_width(textured), :R].T)
     t_out, id_out = outs
     return t_out[0, :R], id_out[0, :R]
 
@@ -1096,8 +1102,8 @@ def _nearest_hit_blocked_call(scene: Scene, o, d, t_min, alive, want_attrs,
     if want_attrs:
         t_out, id_out, attr_out = outs
         # slice off the sublane-tile padding rows (AR -> merged-table width)
-        width = 40 if textured else 26
-        return t_out[0, :R], id_out[0, :R], attr_out[:width, :R].T
+        return (t_out[0, :R], id_out[0, :R],
+                attr_out[:merged_width(textured), :R].T)
     t_out, id_out = outs
     return t_out[0, :R], id_out[0, :R]
 
@@ -1130,7 +1136,9 @@ def _make_scatter_kernel(Pp: int, WO: int, cfg: KConfig):
             lanes = pl.ds(pl.multiple_of(L, RT), RT)
             ids_v = ids_ref[0:1, lanes]                      # (1, RT)
             g_blk = g_ref[lanes, :]                          # (RT, WO)
-            valid = ids_v < Pp          # miss/dead lanes carry id >= Pp
+            # out-of-range ids are dropped (miss/dead lanes carry id >=
+            # Pp; negatives would otherwise clamp into rows 0..127)
+            valid = (ids_v >= 0) & (ids_v < Pp)
 
             def chunk(c, carry):
                 base = c * csize
