@@ -10,7 +10,8 @@ Pieces:
   grad_noscene backward with scene cotangents severed (rays-only chain
                through the bounce scan) — isolates the hit_attributes
                scene-grad (gather-replay + scatter-add) cost
-  scatter_t    isolated scatter-add of (R,26) rows into (T,26) x4 bounces
+  scatter_t    isolated XLA scatter-add of (R,26) rows into (T,26) x4 bounces
+  scatter_mxu  same workload through the MXU one-hot scatter kernel
   gather_t     isolated gather of (T,26) rows at winner ids x4 bounces
 """
 import os
@@ -138,6 +139,20 @@ def main():
         return acc
 
     run("scatter_t", scatter_t, lambda a: np.asarray(a.ravel()[0]))
+
+    # the MXU one-hot scatter kernel on the same workload
+    from ray_tracer_tpu.ops.pallas_intersect import scatter_rows_pallas
+
+    @jax.jit
+    def scatter_mxu():
+        def body(acc, _):
+            return acc + scatter_rows_pallas(ids, rows, T), None
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((T, 26), jnp.float32), None,
+            length=params.bounces + 1)
+        return acc
+
+    run("scatter_mxu", scatter_mxu, lambda a: np.asarray(a.ravel()[0]))
 
     packed = jax.random.normal(key, (T, 26), jnp.float32)
 
