@@ -8,11 +8,23 @@ work actually done.
 
 vs_baseline: the reference publishes no numbers (BASELINE.json.published is
 {}), so vs_baseline is reported against OUR round-1 jnp-oracle baseline on
-the same workload (first recorded value, see BENCH_HISTORY below).
+the same workload (first recorded value, see BASELINE_RAYS_PER_S below).
+
+Resilience (round-2 postmortem: BENCH_r02.json was rc=1 on a relay outage
+that voided every number of the round): the measurement body runs in a
+WORKER SUBPROCESS with a hard timeout — the tunneled TPU backend can both
+raise (UNAVAILABLE) and silently hang (jax.devices() >300 s), and only a
+process boundary guards against the hang. The worker writes each completed
+section (fwd / fwd_bwd / parity / textured) to a partial-results file as it
+finishes; the parent waits for the backend, restarts the worker on crash or
+timeout resuming from the partial file, and ALWAYS prints one JSON line
+with whatever completed, exiting 0. A lost section shows up in
+detail.errors instead of killing the artifact.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -28,7 +40,11 @@ import time
 BASELINE_RAYS_PER_S = 5_529_000.0
 
 
-def build_workload():
+# ---------------------------------------------------------------------------
+# Workloads
+# ---------------------------------------------------------------------------
+
+def build_workload(use_textures=False):
     import numpy as np
     import ray_tracer_tpu as rt
     from ray_tracer_tpu.io import load_model
@@ -49,14 +65,14 @@ def build_workload():
     teapot = "/root/reference/assets/the_utah_teapot.glb"
     b = rt.SceneBuilder()
     if os.path.exists(teapot):
-        # use_textures=False: the reference parity workload is pure
-        # geometry — its shader has no texture sampler (textures are dead
-        # code, /root/reference/src/core/scene.rs:466) and this benchmark
-        # measures intersection throughput. The textured path (fused
-        # in-kernel UV extraction + XLA texture fetch) is measured
-        # separately in docs/PERF_NOTES.md.
+        # use_textures=False is the reference-parity workload: the
+        # reference's shader has no texture sampler (textures are dead
+        # code, /root/reference/src/core/scene.rs:466) and the headline
+        # measures intersection throughput. use_textures=True is the
+        # BASELINE extension workload (fused in-kernel UV extraction +
+        # quad-gather sampling), reported as its own section.
         load_model(teapot, b, placement="origin", albedo=(0.7, 0.5, 0.3),
-                   smoothness=0.3, use_textures=False)
+                   smoothness=0.3, use_textures=use_textures)
         lo, hi = b.bounds()  # host-side: avoids a device→host pull
         scene = b.build()
         center = (lo + hi) / 2
@@ -69,7 +85,64 @@ def build_workload():
     return scene, cam, params
 
 
-def bench_fwd_bwd(scene, basis, params):
+def _fwd_throughput(scene, basis, params, frames):
+    """Timed progressive forward render; returns (rays_per_s, dt, compile_s).
+
+    One compiled program reused for warmup + timing; full image pull as
+    the sync (block_until_ready is unreliable through tunneled TPU
+    backends); min over trials rejects transient relay stalls. 32 frames
+    per pull amortizes the constant ~0.7 s relay image transfer.
+    """
+    import numpy as np
+    from ray_tracer_tpu.renderer import render_progressive
+
+    t0 = time.time()
+    img = np.asarray(render_progressive(scene, basis, params, frames))
+    compile_s = time.time() - t0
+    assert np.isfinite(img).all()
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        np.asarray(render_progressive(scene, basis, params, frames))
+        dt = min(dt, time.time() - t0)
+    segs = (params.width * params.height * params.rays_per_pixel
+            * (params.bounces + 1) * frames)
+    return segs / dt, dt, compile_s
+
+
+# ---------------------------------------------------------------------------
+# Sections (worker side). Each takes/updates a shared ctx dict and returns
+# a JSON-serializable result dict.
+# ---------------------------------------------------------------------------
+
+def _ctx_workload(ctx):
+    if "workload" not in ctx:
+        from ray_tracer_tpu.renderer import camera_basis
+        scene, cam, params = build_workload()
+        basis = camera_basis(cam.replace(aspect=params.aspect))
+        ctx["workload"] = (scene, basis, params)
+    return ctx["workload"]
+
+
+def section_fwd(ctx):
+    import jax
+    scene, basis, params = _ctx_workload(ctx)
+    frames = int(os.environ.get("BENCH_FRAMES", "32"))
+    rays_per_s, dt, compile_s = _fwd_throughput(scene, basis, params, frames)
+    print(f"# fwd {dt:.3f}s/{frames}f = {rays_per_s/1e6:.1f} M segs/s "
+          f"(compile {compile_s:.1f}s)", file=sys.stderr)
+    return {
+        "rays_per_s": round(rays_per_s, 1),
+        "seconds": round(dt, 3), "frames": frames,
+        "fps": round(frames / dt, 3), "compile_s": round(compile_s, 1),
+        "resolution": f"{params.width}x{params.height}",
+        "tris": scene.num_tris, "spheres": scene.num_spheres,
+        "bounces": params.bounces, "rpp": params.rays_per_pixel,
+        "backend": params.backend, "device": str(jax.devices()[0]),
+    }
+
+
+def section_fwd_bwd(ctx):
     """Forward+backward rays/s (BASELINE.md:36): time one fused-path
     gradient step — d/d(scene) of the image MSE against a fixed target —
     on the same 1080p teapot workload. Differentiates w.r.t. EVERY float
@@ -78,10 +151,10 @@ def bench_fwd_bwd(scene, basis, params):
     import jax
     import jax.numpy as jnp
     import numpy as np
+    import jax.tree_util as jtu
     from ray_tracer_tpu.renderer import render_frame
 
-    import jax.tree_util as jtu
-
+    scene, basis, params = _ctx_workload(ctx)
     target = jax.lax.stop_gradient(
         render_frame(scene, basis, params, jnp.int32(1)))
 
@@ -115,16 +188,19 @@ def bench_fwd_bwd(scene, basis, params):
         dt = min(dt, time.time() - t0)
     segs = (params.width * params.height * params.rays_per_pixel
             * (params.bounces + 1))
-    return segs / dt, dt, compile_s
+    print(f"# fwd+bwd {dt:.3f}s/step (compile {compile_s:.1f}s) = "
+          f"{segs/dt/1e6:.1f} M segs/s", file=sys.stderr)
+    return {"rays_per_s": round(segs / dt, 1), "s_per_step": round(dt, 3),
+            "compile_s": round(compile_s, 1)}
 
 
-def parity_evidence():
+def section_parity(ctx):
     """On-device correctness evidence (VERDICT r1 #3): compiled Pallas vs
     jnp oracle, on the chip this benchmark runs on — a room frame (spheres
     + tris + dielectric + emissive) and a textured teapot slice (fused
     24-row extraction + quad-gather sampling). Reports the fraction of
     pixels beyond tolerance; the assert makes a silent Mosaic/interpret
-    divergence fail the bench. A >0 but tiny fraction is expected: an
+    divergence fail the section. A >0 but tiny fraction is expected: an
     ulp-level fma difference at a silhouette pixel flips a winner tie or
     a scatter direction and the bounce chain diverges chaotically
     (measured: 1 pixel in 9216, with 0 primary-ray id mismatches and
@@ -138,6 +214,7 @@ def parity_evidence():
     out = {}
     scene, cam = rt.builtin_scene("room", aspect=1.0)
     basis = camera_basis(cam)
+
     def frac_off(a, b, tol=2e-2):
         return float((np.abs(a - b).max(-1) > tol).mean())
 
@@ -154,10 +231,9 @@ def parity_evidence():
         load_model(teapot, bld, placement="origin", smoothness=0.3)
         lo, hi = bld.bounds()
         s2 = bld.build()
-        import numpy as _np
         center = (lo + hi) / 2
-        ext = float(_np.linalg.norm(hi - lo))
-        cam2 = rt.Camera(origin=tuple(center + ext * _np.array([0.7, 0.4, 0.7])),
+        ext = float(np.linalg.norm(hi - lo))
+        cam2 = rt.Camera(origin=tuple(center + ext * np.array([0.7, 0.4, 0.7])),
                          look_at=tuple(center), aspect=1.0, focus_dist=1.0)
         b2 = camera_basis(cam2)
         p2 = rt.RenderParams(width=96, height=96, bounces=1, skybox=True)
@@ -198,74 +274,199 @@ def parity_evidence():
             assert v < 2e-3, f"pallas/jnp divergence on device: {k}={v}"
     assert out.get("teapot_primary_id_mismatches", 0) <= 2
     assert out.get("teapot_primary_attr_max_abs_diff", 0.0) < 1e-3
+    print(f"# parity {out}", file=sys.stderr)
     return out
 
 
-def main():
-    import jax
-    import numpy as np
-    import ray_tracer_tpu as rt
-    from ray_tracer_tpu.renderer import camera_basis, render_progressive
-
-    scene, cam, params = build_workload()
+def section_textured(ctx):
+    """Textured-path throughput (VERDICT r2 #7): same 1080p teapot frame
+    with UV/texture sampling live (fused in-kernel UV extraction +
+    quad-gather fetch) — the BASELINE extension workload the untextured
+    headline hides."""
+    from ray_tracer_tpu.renderer import camera_basis
+    scene, cam, params = build_workload(use_textures=True)
     basis = camera_basis(cam.replace(aspect=params.aspect))
+    frames = int(os.environ.get("BENCH_FRAMES_TEX", "16"))
+    rays_per_s, dt, compile_s = _fwd_throughput(scene, basis, params, frames)
+    print(f"# textured fwd {dt:.3f}s/{frames}f = {rays_per_s/1e6:.1f} "
+          f"M segs/s (compile {compile_s:.1f}s)", file=sys.stderr)
+    return {"rays_per_s": round(rays_per_s, 1), "seconds": round(dt, 3),
+            "frames": frames, "compile_s": round(compile_s, 1)}
 
-    # 32 frames: the image pull through the tunneled backend costs a
-    # constant ~0.7 s per timing call (25 MB relay transfer — measured:
-    # render_frame is 107 ms/frame device-side while an 8-frame timing
-    # call took 1.54 s); more on-device frames per pull approaches the
-    # true device rate, and progressive accumulation IS the workload.
-    frames = int(os.environ.get("BENCH_FRAMES", "32"))
-    # One compiled program reused for warmup + timing; full image pull as
-    # the sync (block_until_ready is unreliable through tunneled TPU
-    # backends); min over trials rejects transient relay stalls.
-    t0 = time.time()
-    img = np.asarray(render_progressive(scene, basis, params, frames))
-    compile_s = time.time() - t0
-    assert np.isfinite(img).all()
-    print(f"# fwd compile+first {compile_s:.1f}s", file=sys.stderr)
 
-    dt = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        img = np.asarray(render_progressive(scene, basis, params, frames))
-        dt = min(dt, time.time() - t0)
-    print(f"# fwd {dt:.3f}s/{frames}f = "
-          f"{params.width*params.height*(params.bounces+1)*frames/dt/1e6:.1f}"
-          " M segs/s", file=sys.stderr)
+SECTIONS = [
+    ("fwd", section_fwd),
+    ("fwd_bwd", section_fwd_bwd),
+    ("parity", section_parity),
+    ("textured", section_textured),
+]
 
-    segments = (params.width * params.height * params.rays_per_pixel
-                * (params.bounces + 1) * frames)
-    rays_per_s = segments / dt
-    vs = (rays_per_s / BASELINE_RAYS_PER_S) if BASELINE_RAYS_PER_S else 1.0
 
-    fb_rays_per_s, fb_dt, fb_compile_s = bench_fwd_bwd(scene, basis, params)
-    print(f"# fwd+bwd {fb_dt:.3f}s/step (compile {fb_compile_s:.1f}s)",
-          file=sys.stderr)
-    parity = parity_evidence()
-    print(f"# parity {parity}", file=sys.stderr)
+# ---------------------------------------------------------------------------
+# Worker: run sections with in-process retry, persist after each.
+# ---------------------------------------------------------------------------
 
-    print(json.dumps({
+def _load_partial(path):
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _save_partial(path, results):
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(results, f)
+    os.replace(tmp, path)
+
+
+def worker_main(path):
+    from ray_tracer_tpu.utils.retry import retry_transient, is_transient
+    results = _load_partial(path)
+    ctx = {}
+    for name, fn in SECTIONS:
+        if name in results:
+            continue
+        try:
+            results[name] = retry_transient(
+                lambda fn=fn: fn(ctx), retries=3, base_delay=10.0,
+                max_delay=120.0)
+            results.setdefault("errors", {}).pop(name, None)
+        except BaseException as exc:  # noqa: BLE001 — recorded, not hidden
+            results.setdefault("errors", {})[name] = (
+                str(exc).splitlines() or ["?"])[0][:300]
+            _save_partial(path, results)
+            if is_transient(exc):
+                # give the parent a fresh process (fresh backend init)
+                sys.exit(3)
+            continue  # real bug in one section shouldn't kill the rest
+        _save_partial(path, results)
+    sys.exit(0)
+
+
+# ---------------------------------------------------------------------------
+# Parent: wait for backend, run worker under a hard timeout, compose.
+# ---------------------------------------------------------------------------
+
+_PROBE_SRC = ("import jax; jax.devices(); import jax.numpy as jnp; "
+              "import numpy as np; "
+              "assert np.asarray(jnp.ones((8,)) + 1)[0] == 2.0")
+
+
+def _backend_up(timeout=150):
+    try:
+        return subprocess.run(
+            [sys.executable, "-c", _PROBE_SRC], timeout=timeout,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        ).returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _wait_backend(deadline):
+    """Probe (in a subprocess — the relay can HANG, not just raise) until
+    the backend answers or the deadline passes."""
+    first = True
+    while time.time() < deadline:
+        budget = min(150, max(10, deadline - time.time()))
+        if _backend_up(timeout=budget):
+            return True
+        if first:
+            print("# backend down; waiting for relay...", file=sys.stderr)
+            first = False
+        time.sleep(min(30, max(1, deadline - time.time())))
+    return False
+
+
+def _run_worker(path, timeout):
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--worker", path],
+        stdout=sys.stderr, stderr=sys.stderr,
+        start_new_session=True)  # own pgid: kill the whole tree on timeout
+    try:
+        return proc.wait(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        print(f"# worker hung past {timeout:.0f}s; killing", file=sys.stderr)
+        try:
+            import signal
+            os.killpg(proc.pid, signal.SIGKILL)
+        except OSError:
+            proc.kill()
+        proc.wait()
+        return -9
+
+
+def compose(results):
+    fwd = results.get("fwd", {})
+    fb = results.get("fwd_bwd", {})
+    tex = results.get("textured", {})
+    rays_per_s = fwd.get("rays_per_s", 0.0)
+    detail = dict(fwd)
+    detail.pop("rays_per_s", None)
+    if fb:
+        detail["fwd_bwd_rays_per_s"] = fb["rays_per_s"]
+        detail["fwd_bwd_s_per_step"] = fb["s_per_step"]
+        detail["fwd_bwd_compile_s"] = fb["compile_s"]
+    if "parity" in results:
+        detail["on_device_parity_max_abs_diff"] = results["parity"]
+    if tex:
+        detail["textured_rays_per_s"] = tex["rays_per_s"]
+        detail["textured_frames"] = tex["frames"]
+        detail["textured_compile_s"] = tex["compile_s"]
+    if results.get("errors"):
+        detail["errors"] = results["errors"]
+    return {
         "metric": "rays/s/chip fwd 1080p teapot (brute force)",
-        "value": round(rays_per_s, 1),
+        "value": rays_per_s,
         "unit": "ray segments/s",
-        "vs_baseline": round(vs, 3),
-        "detail": {
-            "frames": frames, "seconds": round(dt, 3),
-            "fps": round(frames / dt, 3),
-            "compile_s": round(compile_s, 1),
-            "resolution": f"{params.width}x{params.height}",
-            "tris": scene.num_tris, "spheres": scene.num_spheres,
-            "bounces": params.bounces, "rpp": params.rays_per_pixel,
-            "backend": params.backend,
-            "device": str(jax.devices()[0]),
-            "fwd_bwd_rays_per_s": round(fb_rays_per_s, 1),
-            "fwd_bwd_s_per_step": round(fb_dt, 3),
-            "fwd_bwd_compile_s": round(fb_compile_s, 1),
-            "on_device_parity_max_abs_diff": parity,
-        },
-    }))
+        "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),
+        "detail": detail,
+    }
+
+
+def main():
+    # stop any dev-time availability prober: two programs sharing the chip
+    # corrupt each other's timings (measured 939 vs 345 ms in round 2)
+    try:
+        with open("/tmp/stop_probe", "w"):
+            pass
+    except OSError:
+        pass
+
+    deadline = time.time() + float(
+        os.environ.get("BENCH_TOTAL_DEADLINE_S", "3600"))
+    attempt_timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT_S", "2100"))
+    max_attempts = int(os.environ.get("BENCH_ATTEMPTS", "4"))
+
+    path = f"/tmp/rtt_bench_partial_{os.getpid()}.json"
+
+    if not _wait_backend(deadline):
+        results = {"errors": {"backend": "axon backend unreachable for the "
+                              "whole BENCH_TOTAL_DEADLINE_S window"}}
+        print(json.dumps(compose(results)))
+        return
+
+    for attempt in range(max_attempts):
+        results = _load_partial(path)
+        if all(name in results for name, _ in SECTIONS):
+            break
+        budget = deadline - time.time()
+        if budget < 60:
+            break
+        rc = _run_worker(path, min(attempt_timeout, budget))
+        if rc == 0:
+            break
+        print(f"# worker attempt {attempt + 1} rc={rc}; "
+              "waiting for backend before resume", file=sys.stderr)
+        if not _wait_backend(deadline):
+            break
+
+    print(json.dumps(compose(_load_partial(path))))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
+        worker_main(sys.argv[2])
+    else:
+        main()

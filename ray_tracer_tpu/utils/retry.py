@@ -30,18 +30,28 @@ TRANSIENT_MARKERS = (
 
 
 def is_transient(exc: BaseException) -> bool:
-    msg = str(exc)
+    """A transport-level failure worth retrying.
+
+    Markers are matched against the HEAD of the message (first 400 chars)
+    rather than anywhere in it: PJRT puts the grpc status up front, while a
+    non-transient error that merely *quotes* a nested status (e.g. a shape
+    error wrapping an earlier relay log line) carries it deep in the body.
+    """
+    msg = str(exc)[:400]
     return isinstance(exc, (RuntimeError, ConnectionError, OSError)) and any(
         m in msg for m in TRANSIENT_MARKERS)
 
 
 def retry_transient(fn, *, retries: int = 2, base_delay: float = 1.0,
-                    on_retry=None):
+                    max_delay: float = 300.0, on_retry=None):
     """Call ``fn()``; on a transient device error, wait and retry.
 
     ``on_retry(attempt, exc)`` (optional) runs before each retry — the
     caller's hook to rebuild device state from a host-side safe point.
     Non-transient errors and the final failure propagate unchanged.
+    Exponential backoff from ``base_delay``, capped at ``max_delay``
+    (relay outages last minutes — a generous cap lets a long retry
+    schedule ride one out without unbounded sleeps).
     """
     attempt = 0
     while True:
@@ -51,7 +61,7 @@ def retry_transient(fn, *, retries: int = 2, base_delay: float = 1.0,
             if not is_transient(exc) or attempt >= retries:
                 raise
             attempt += 1
-            delay = base_delay * (2 ** (attempt - 1))
+            delay = min(base_delay * (2 ** (attempt - 1)), max_delay)
             logger.warning(
                 "transient device error (%s); retry %d/%d in %.1fs",
                 str(exc).splitlines()[0][:120], attempt, retries, delay)
