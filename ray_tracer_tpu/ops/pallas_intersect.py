@@ -154,6 +154,20 @@ def env_config() -> KConfig:
     )
 
 
+def _fit_cluster(cfg: KConfig, TP: int) -> KConfig:
+    """Clamp cfg.cluster to a divisor of the scene's triangle padding:
+    the largest power-of-two divisor of TP in [8, 128] (Mosaic sublane
+    dims must be multiples of 8). Covers scenes built with a small
+    explicit pad; production scenes pad to multiples of 128 and keep the
+    configured cluster."""
+    if TP % cfg.cluster == 0:
+        return cfg
+    c = 128
+    while c > 8 and TP % c != 0:
+        c //= 2
+    return cfg._replace(cluster=c)
+
+
 def _pack_tris(scene: Scene, textured: bool = False):
     """(TP, 32|48) plane array:
     [a(3) | e1(3) | e2(3) | n(3) | n0(3) | n1(3) | n2(3) | albedo(3) |
@@ -591,8 +605,7 @@ def _nearest_hit_call(scene: Scene, o, d, t_min, alive, want_attrs,
     R = o.shape[0]
     SP, TP = scene.padded_spheres, scene.padded_tris
     tt_s = min(SPH_TT, SP)
-    if TP % cfg.cluster != 0:
-        cfg = cfg._replace(cluster=128)
+    cfg = _fit_cluster(cfg, TP)
     csize, RT = cfg.cluster, cfg.rt
 
     step = RT * cfg.step_tiles
@@ -971,8 +984,7 @@ def _nearest_hit_blocked_call(scene: Scene, o, d, t_min, alive, want_attrs,
     R = o.shape[0]
     SP, TP = scene.padded_spheres, scene.padded_tris
     tt_s = min(SPH_TT, SP)
-    if TP % cfg.cluster != 0:
-        cfg = cfg._replace(cluster=128)
+    cfg = _fit_cluster(cfg, TP)
     csize, RT = cfg.cluster, cfg.rt
     # Mosaic requires the streamed cluster-AABB block's sublane dim
     # (TB // csize) to be divisible by 8 — round the per-block cluster
@@ -1346,8 +1358,7 @@ def _anyhit_call(scene: Scene, o, d, t_min, t_max, alive, interpret,
     R = o.shape[0]
     SP, TP = scene.padded_spheres, scene.padded_tris
     tt_s = min(SPH_TT, SP)
-    if TP % cfg.cluster != 0:
-        cfg = cfg._replace(cluster=128)
+    cfg = _fit_cluster(cfg, TP)
     csize, RT = cfg.cluster, cfg.rt
 
     step = RT * cfg.step_tiles

@@ -28,10 +28,22 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = AXIS) -> Mesh:
 
 
 def shard_map_fn(fn, mesh: Mesh, in_specs, out_specs):
-    """Version-tolerant shard_map wrapper."""
+    """Version-tolerant shard_map wrapper.
+
+    Varying-axes checking is disabled (check_vma / check_rep): the render
+    body contains pallas_call, whose out_shapes carry no varying-axes
+    metadata, so the check rejects it outright on jax >= 0.7 — and the
+    body has no collectives for the check to validate anyway (forward
+    rendering is embarrassingly parallel; the gradient psum is inserted
+    by shard_map's own transpose)."""
     try:
         from jax import shard_map as _sm  # jax >= 0.6 public API
-        return _sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
-    except (ImportError, TypeError):
+        kw = {"check_vma": False}
+    except ImportError:
         from jax.experimental.shard_map import shard_map as _sm
+        kw = {"check_rep": False}
+    try:
+        return _sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   **kw)
+    except TypeError:  # older/newer kwarg name mismatch
         return _sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)

@@ -23,19 +23,39 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..camera import CameraBasis
-from ..renderer import render_pixels
+from ..renderer import (_blocked_order, _unblock_image, render_pixels,
+                        resolved_backend)
 from ..scene import Scene
 from ..utils.config import RenderParams
 from .mesh import AXIS, make_mesh, shard_map_fn
 
 
-def _padded_ids(n: int, n_dev: int):
+def _padded_ids(params: RenderParams, n_dev: int):
     """Flat pixel ids padded to a multiple of n_dev (surplus lanes repeat
-    the last pixel; they're dropped after the gather)."""
+    the last pixel; they're dropped after the gather).
+
+    Uses the SAME blocked 16×8 pixel order as the single-device path
+    (renderer.render_frame) whenever the Pallas backend (or coherent
+    scattering) is in play: each device's contiguous shard is then whole
+    compact pixel blocks, so per-tile frustums stay tight and the kernel's
+    cluster culling works at full strength on silicon — a raw arange would
+    hand every device 128-wide scanline strips (measured 2× cull loss).
+    Returns (ids, blocked, inverse-or-None).
+    """
+    W, H = params.width, params.height
+    n = W * H
+    blocked = (resolved_backend(params) == "pallas"
+               or params.coherent_scatter)
+    if blocked:
+        order, inverse = _blocked_order(W, H)
+        base = jnp.asarray(order)
+    else:
+        base, inverse = jnp.arange(n, dtype=jnp.uint32), None
     per = -(-n // n_dev)
-    total = per * n_dev
-    ids = jnp.arange(total, dtype=jnp.uint32)
-    return jnp.minimum(ids, jnp.uint32(n - 1)), total
+    pad = per * n_dev - n
+    if pad:
+        base = jnp.concatenate([base, jnp.broadcast_to(base[-1:], (pad,))])
+    return base, blocked, inverse
 
 
 @functools.partial(jax.jit, static_argnames=("params", "mesh"))
@@ -43,7 +63,7 @@ def _render_sharded(scene: Scene, basis: CameraBasis, params: RenderParams,
                     frame_index, mesh: Mesh):
     W, H = params.width, params.height
     n = W * H
-    ids, total = _padded_ids(n, mesh.devices.size)
+    ids, blocked, inverse = _padded_ids(params, mesh.devices.size)
 
     def body(scene, basis, frame_index, ids):
         return render_pixels(scene, basis, params, frame_index, ids)
@@ -57,8 +77,13 @@ def _render_sharded(scene: Scene, basis: CameraBasis, params: RenderParams,
         out_specs=pix_spec,
     )
     ids = jax.device_put(ids, NamedSharding(mesh, pix_spec))
-    img = fn(scene, basis, frame_index, ids)
-    return img[:n].reshape(H, W, 3)
+    img = fn(scene, basis, frame_index, ids)[:n]
+    if blocked:
+        if W % 16 == 0 and H % 8 == 0:
+            img = _unblock_image(img, W, H)
+        else:
+            img = img[jnp.asarray(inverse)]  # back to raster order
+    return img.reshape(H, W, 3)
 
 
 def render_frame_distributed(scene: Scene, basis: CameraBasis,
