@@ -15,6 +15,19 @@ Quick start:
     ...                                             skybox=True), frames=8)
 """
 
+import os as _os
+
+# RTT_PLATFORM=cpu (or any platform name) reselects the JAX backend before
+# anything touches a device. The JAX_PLATFORMS env var alone does not stick
+# in environments where a site hook pre-registers a remote TPU platform;
+# this goes through jax.config (same mechanism as tests/conftest.py).
+# Useful for headless CPU renders and when the TPU relay is down. Must run
+# before the submodule imports below.
+if _os.environ.get("RTT_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["RTT_PLATFORM"])
+
 from .camera import Camera, CameraBasis, CameraController, camera_basis, camera_rays, update_camera
 from .renderer import Renderer, accumulate, render, render_frame, render_pixels, trace
 from .scene import (

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import logging
 import sys
 import time
 
@@ -107,6 +108,11 @@ def cmd_render(args):
             r._image = img
             r.frames = args.frames - 1
         else:
+            if args.resilient:
+                logging.getLogger("ray_tracer_tpu.cli").warning(
+                    "--resilient only protects the batch path (frames > 1, "
+                    "fresh accumulation, accumulate on); this render steps "
+                    "per-frame without retry protection")
             for i in range(args.frames):
                 img = r.step()
         img = np.asarray(img)  # sync (block_until_ready is unreliable on
@@ -211,6 +217,8 @@ def cmd_info(args):
 
 
 def main(argv=None):
+    # RTT_PLATFORM backend selection happens in ray_tracer_tpu/__init__.py
+    # (must run before any module can touch a device).
     ap = argparse.ArgumentParser(prog="ray_tracer_tpu")
     ap.add_argument("-v", "--verbose", action="store_true",
                     help="INFO logging: loader warnings, per-stage timings")

@@ -402,8 +402,8 @@ def load_glb(path: str) -> List[MeshData]:
             gltf_json = json.loads(chunk.decode("utf-8"))
         elif ctype == 0x004E4942:  # 'BIN'
             blob = bytes(chunk)
-        off += 8 + clen + ((4 - clen % 4) % 4 if False else 0)
-        # chunks are 4-byte aligned; lengths in assets are already padded
+        # chunks are 4-byte aligned (GLB spec); skip any padding
+        off += 8 + clen
         if clen % 4:
             off += 4 - clen % 4
     if gltf_json is None:

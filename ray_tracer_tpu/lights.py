@@ -64,6 +64,13 @@ class LightTable:
 def build_light_table(scene: Scene) -> LightTable:
     """Select the MAX_LIGHTS highest-power emitters (jnp; hoisted by XLA)."""
     SP = scene.padded_spheres
+    # prim ids round-trip through an f32 column in the packed table —
+    # exact only below 2^24; a bigger scene would silently corrupt NEE
+    # self-hit exclusion (padded counts are static, so this is trace-time)
+    if SP + scene.padded_tris >= 2 ** 24:
+        raise ValueError(
+            f"scene too large for NEE light table: {SP + scene.padded_tris}"
+            f" prim ids exceed f32-exact integer range (2^24)")
     s_pow_mask = (scene.sphere_valid > 0.5) & (scene.sphere_emission_strength > 0.0)
     s_area = 4.0 * np.pi * scene.sphere_radius ** 2
     s_emit = scene.sphere_emission * scene.sphere_emission_strength[:, None]

@@ -27,11 +27,15 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..scene import Scene
 
 TRI_DET_EPS = 1e-6  # back-face / parallel cutoff (shaders/ray_tracer.wgsl:140)
-INF = jnp.float32(jnp.inf)
+# numpy scalar, NOT jnp: a jnp.float32() call materializes a device array,
+# which would initialize the backend at import time (and hang the import
+# whenever the TPU relay is down)
+INF = np.float32(np.inf)
 
 
 @jax.tree_util.register_dataclass

@@ -164,11 +164,19 @@ class Viewer:
 
     def _on_resize(self, event):
         """Window-drag resize → render-resolution change (lib.rs:40-45).
-        Quantized to multiples of 16 and no-op'd when unchanged: every
-        distinct size is a (cached) recompile, and matplotlib fires
-        resize_event on some ordinary draws too."""
-        w = max(64, int(event.width) // 16 * 16)
-        h = max(64, int(event.height) // 16 * 16)
+        Target resolution comes from the AXES bounding box (the region the
+        image is actually displayed in), not the full canvas — the canvas
+        includes the title/margin area, which would systematically
+        over-render. Quantized to multiples of 16 and no-op'd when
+        unchanged: every distinct size is a (cached) recompile, and
+        matplotlib fires resize_event on some ordinary draws too."""
+        try:
+            bbox = self.ax.get_window_extent()
+            ew, eh = bbox.width, bbox.height
+        except Exception:  # backend without a realized renderer yet
+            ew, eh = event.width, event.height
+        w = max(64, int(ew) // 16 * 16)
+        h = max(64, int(eh) // 16 * 16)
         p = self.renderer.params
         if (w, h) != (p.width, p.height):
             self.resize(w, h)
