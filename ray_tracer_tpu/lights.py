@@ -6,13 +6,16 @@ NEE as a target capability). Defaults OFF (`RenderParams.nee`) so reference
 behavior is untouched.
 
 Estimator consistency: the reference's implicit transport multiplies
-throughput by albedo per bounce while sampling directions uniformly on the
-hemisphere (pdf = 1/2π), i.e. an effective BRDF f = albedo/(2π) per
-steradian with no cosine factor. NEE here integrates THE SAME f over the
-light's solid angle — `albedo/(2π) · Le · area·|cos_l|/d²` — so enabling
-NEE reduces variance without changing the converged image. With
-`RenderParams.cosine_sampling` the BRDF becomes true Lambertian
-(f = albedo·cos/π) in both estimators.
+throughput by albedo per bounce while scattering along
+``dir = (1-s)·h + s·reflect`` with h a hemisphere sample — i.e. an
+effective BRDF f(ω) = albedo · p_lobe(ω), where p_lobe is the scatter
+direction's solid-angle density. NEE here integrates THE SAME f over the
+light's solid angle using the closed-form p_lobe (``glossy_mix_pdf``), so
+enabling NEE reduces variance without changing the converged image at
+EVERY smoothness s < 1: at s=0 p_lobe is the hemisphere density (1/2π
+uniform, cos/π with ``RenderParams.cosine_sampling``), and for glossy
+blends it is the exact pushforward of that density through the lerp.
+Perfect mirrors (s=1, a delta lobe) keep pure BSDF sampling.
 
 Double-count suppression: when a bounce performed NEE, emission found by
 the NEXT BSDF segment is not counted again (dielectric lanes can't NEE, so
@@ -115,6 +118,54 @@ def build_light_table(scene: Scene) -> LightTable:
     ], axis=1)
     return LightTable(packed=packed, prim_id=top.astype(jnp.int32), cdf=cdf,
                       has_lights=has, entry_valid=top_power > 0.0)
+
+
+def glossy_mix_pdf(wi_unit, refl, normal, s, cosine_sampling: bool):
+    """Solid-angle pdf of the reference's glossy lerp lobe at direction
+    ``wi_unit`` — the exact effective BRDF weight for NEE.
+
+    The reference scatters ``dir = (1-s)·h + s·r`` (shaders/
+    ray_tracer.wgsl:265-269; materials.scatter) with h a unit hemisphere
+    sample (uniform 1/2π, or cosine cos/π) and r the unit mirror
+    direction. The image of the unit h-sphere under that affine map is a
+    sphere of radius (1-s) centered at s·r; projecting it radially onto
+    directions gives a closed-form density. For a query direction ω with
+    c = ω·r, points at t·ω on that sphere satisfy
+        t² - 2·t·s·c + s² - (1-s)² = 0  →  t± = s·c ± √disc,
+        disc = s²(c²-1) + (1-s)².
+    Each real root t > 0 maps back to h = (t·ω - s·r)/(1-s) (unit by
+    construction) and contributes (sphere-to-solid-angle Jacobian
+    |h·ω| = √disc/(1-s), area scale (1-s)²):
+        p(ω) += p_h(h) · t² / ((1-s)·√disc)       if h·n > 0.
+    Both roots can be live when s > 1/2 (the origin falls outside the
+    lobe sphere). At s = 0 this reduces exactly to p_h(ω); as s → 1 the
+    lobe tends to a delta at r (callers exclude s = 1; the
+    nee_smoothness_cutoff knob exists for *variance* control near 1 —
+    with this pdf NEE is unbiased at every s < 1).
+
+    Args: wi_unit (R,3) unit direction to the light point; refl (R,3)
+    unit mirror direction; normal (R,3) unit shading normal; s (R,) in
+    [0, 1); cosine_sampling: which hemisphere density h was drawn from.
+    Returns (R,) pdf (0 where ω is outside the lobe's support).
+    """
+    c = jnp.sum(wi_unit * refl, axis=-1)
+    one_s = jnp.maximum(1.0 - s, 1e-6)
+    disc = s * s * (c * c - 1.0) + one_s * one_s
+    sq = jnp.sqrt(jnp.maximum(disc, 1e-20))
+
+    def root_contrib(sign):
+        t = s * c + sign * sq
+        h = (t[:, None] * wi_unit - s[:, None] * refl) / one_s[:, None]
+        cos_hn = jnp.sum(h * normal, axis=-1)
+        if cosine_sampling:
+            p_h = jnp.maximum(cos_hn, 0.0) / np.pi
+        else:
+            p_h = jnp.where(cos_hn > 0.0, 1.0 / TWO_PI, 0.0)
+        ok = t > 1e-6
+        return jnp.where(ok, p_h * t * t / (one_s * sq), 0.0)
+
+    pdf = root_contrib(1.0) + root_contrib(-1.0)
+    return jnp.where(disc > 0.0, pdf, 0.0)
 
 
 def sample_lights(lights: LightTable, scene: Scene, state, p):

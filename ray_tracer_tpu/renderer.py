@@ -34,7 +34,7 @@ import numpy as np
 from . import materials, sampling
 from .camera import Camera, CameraBasis, camera_basis, camera_rays
 from .envlight import environment_light
-from .lights import build_light_table, sample_lights
+from .lights import build_light_table, glossy_mix_pdf, sample_lights
 from .ops.intersect import intersect, occluded
 from .scene import Scene
 from .utils.config import RenderParams
@@ -233,19 +233,25 @@ def trace(scene: Scene, o, d, state, params: RenderParams):
             # sample of that integral — those lanes must STILL suppress
             # the next BSDF emission, else direct light is double-counted
             # (~1.7x bright, measured).
-            # mirrors (smoothness >= cutoff) keep pure BSDF sampling; the
-            # diffuse NEE estimator is exact at s=0 and an approximation
-            # for glossy blends (see RenderParams.nee docs)
+            # The effective BRDF at the light direction is EXACT for every
+            # glossy blend s < 1: albedo · pdf of the reference's lerp
+            # lobe (lights.glossy_mix_pdf; reduces to the diffuse form at
+            # s=0). The cutoff therefore only controls VARIANCE — lanes at
+            # s >= cutoff (near-mirror: area-sampled NEE is noisy inside a
+            # tight lobe) keep pure BSDF sampling, which is also unbiased.
             nee_material = h.smoothness < params.nee_smoothness_cutoff
             attempted = (active_hit & ~is_dielectric & nee_material
                          & not_last & light_table.has_lights)
             nee_lane = attempted & ls["ok"] & (cos_s > 0.0)
             blocked = occluded(scene, h.point, ls["wi"], t_min=params.t_min,
                                backend=params.backend, alive=nee_lane)
-            if params.cosine_sampling:
-                brdf = albedo * (jnp.maximum(cos_s, 0.0) * _INV_PI)[:, None]
-            else:
-                brdf = albedo * _INV_2PI
+            unit_in = d / jnp.maximum(
+                jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+            refl = materials.reflect(unit_in, h.normal)
+            pdf_l = glossy_mix_pdf(wi_unit, refl, h.normal,
+                                   jnp.clip(h.smoothness, 0.0, 1.0),
+                                   params.cosine_sampling)
+            brdf = albedo * pdf_l[:, None]
             direct = brdf * ls["radiance"] * ls["inv_pdf_w"][:, None]
             incoming = incoming + jnp.where(
                 (nee_lane & ~blocked)[:, None], direct * throughput, 0.0)

@@ -67,11 +67,15 @@ class RenderParams:
     # Next-event estimation: explicitly sample emissive primitives with a
     # shadow ray at each diffuse/glossy hit (lights.py). Extension beyond
     # the reference (BASELINE config 4); costs one extra intersection per
-    # bounce. Exact (same converged image) for diffuse surfaces; for glossy
-    # blends (0 < smoothness < cutoff) the direct term uses the diffuse
-    # approximation — a documented bias traded for large variance
-    # reduction. Surfaces with smoothness >= nee_smoothness_cutoff (e.g.
-    # mirrors) always use pure BSDF sampling.
+    # bounce. UNBIASED at every smoothness s < 1 (same converged image as
+    # BSDF-only): the direct term weights by the exact solid-angle pdf of
+    # the reference's glossy lerp lobe (lights.glossy_mix_pdf; pinned by
+    # tests/test_nee.py converged A/Bs). nee_smoothness_cutoff is a pure
+    # VARIANCE knob: lanes with s >= cutoff keep BSDF-only sampling —
+    # area-sampling a near-mirror lobe is exact but noisy, so lowering the
+    # cutoff (e.g. 0.9) trades NEE's variance reduction on near-specular
+    # surfaces for none of NEE's cost there. s = 1 (perfect mirror, a
+    # delta lobe NEE cannot sample) is always excluded.
     nee: bool = False
     nee_smoothness_cutoff: float = 1.0
     # Coherent path tracing: all 128 rays of a kernel tile share one

@@ -155,3 +155,128 @@ def test_overflow_emitters_still_counted(monkeypatch):
     # out-of-table emitter was suppressed (measured ratio 0.915 under the
     # old blanket suppression vs 1.002 fixed — 0.04 separates them)
     assert abs(means[True] / means[False] - 1.0) < 0.04, means
+
+
+# ---------------------------------------------------------------------------
+# Glossy NEE: exact lerp-lobe pdf (VERDICT r2 #8)
+# ---------------------------------------------------------------------------
+
+def _numeric_pdf(h, r, n, s, cosine):
+    """Reference pdf at omega(h) by numeric change-of-variables: sum over
+    BOTH preimage sheets of p_h(h_i) * (area at h_i) / (area at omega)."""
+    from ray_tracer_tpu.lights import TWO_PI
+
+    def to_omega(hv):
+        v = (1.0 - s) * hv + s * r
+        return v / np.linalg.norm(v)
+
+    omega = to_omega(h)
+    c = float(omega @ r)
+    disc = s * s * (c * c - 1.0) + (1.0 - s) ** 2
+    total = 0.0
+    for sign in (1.0, -1.0):
+        t = s * c + sign * np.sqrt(max(disc, 0.0))
+        if t <= 1e-9:
+            continue
+        hi = (t * omega - s * r) / (1.0 - s)
+        hi = hi / np.linalg.norm(hi)
+        cos_hn = float(hi @ n)
+        if cos_hn <= 0.0:
+            continue
+        p_h = cos_hn / np.pi if cosine else 1.0 / float(TWO_PI)
+        # numeric area ratio via tangent perturbations at hi
+        e1 = np.cross(hi, [0.0, 1.0, 0.0])
+        if np.linalg.norm(e1) < 1e-6:
+            e1 = np.cross(hi, [1.0, 0.0, 0.0])
+        e1 /= np.linalg.norm(e1)
+        e2 = np.cross(hi, e1)
+        eps = 1e-5
+        h1 = (hi + eps * e1) / np.linalg.norm(hi + eps * e1)
+        h2 = (hi + eps * e2) / np.linalg.norm(hi + eps * e2)
+        o0, o1, o2 = to_omega(hi), to_omega(h1), to_omega(h2)
+        area_o = np.linalg.norm(np.cross(o1 - o0, o2 - o0))
+        area_h = np.linalg.norm(np.cross(h1 - hi, h2 - hi))
+        total += p_h * area_h / max(area_o, 1e-30)
+    return omega, total
+
+
+def test_glossy_mix_pdf_matches_numeric_jacobian():
+    """glossy_mix_pdf must equal the numeric pushforward density of
+    materials.scatter's lerp at random points — single-sheet (s < 1/2)
+    and two-sheet (s > 1/2) regimes, uniform and cosine hemispheres."""
+    from ray_tracer_tpu.lights import glossy_mix_pdf
+
+    rng = np.random.default_rng(7)
+    n = np.array([0.0, 0.0, 1.0])
+    r = np.array([0.35, 0.2, 0.91])
+    r = r / np.linalg.norm(r)
+    for s in (0.0, 0.3, 0.55, 0.8):
+        for cosine in (False, True):
+            for _ in range(6):
+                h = rng.normal(size=3)
+                h[2] = abs(h[2]) + 0.05
+                h = h / np.linalg.norm(h)
+                omega, want = _numeric_pdf(h, r, n, s, cosine)
+                got = float(glossy_mix_pdf(
+                    jnp.asarray(omega, jnp.float32)[None, :],
+                    jnp.asarray(r, jnp.float32)[None, :],
+                    jnp.asarray(n, jnp.float32)[None, :],
+                    jnp.full((1,), s, jnp.float32), cosine)[0])
+                assert abs(got - want) <= 2e-3 + 0.02 * abs(want), (
+                    s, cosine, got, want)
+
+
+def test_glossy_mix_pdf_integrates_to_one():
+    """Lat-long quadrature of the lobe pdf over the sphere ~ 1."""
+    from ray_tracer_tpu.lights import glossy_mix_pdf
+
+    n = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+    r = jnp.asarray([0.35, 0.2, 0.91], jnp.float32)
+    r = r / jnp.linalg.norm(r)
+    nth, nph = 1200, 600
+    th = (np.arange(nth) + 0.5) / nth * np.pi          # polar from +z
+    ph = (np.arange(nph) + 0.5) / nph * 2.0 * np.pi
+    T, P = np.meshgrid(th, ph, indexing="ij")
+    dirs = np.stack([np.sin(T) * np.cos(P), np.sin(T) * np.sin(P),
+                     np.cos(T)], -1).reshape(-1, 3).astype(np.float32)
+    w = (np.sin(T) * (np.pi / nth) * (2.0 * np.pi / nph)).reshape(-1)
+    R = dirs.shape[0]
+    for s in (0.0, 0.3, 0.6):
+        for cosine in (False, True):
+            pdf = np.asarray(glossy_mix_pdf(
+                jnp.asarray(dirs), jnp.broadcast_to(r, (R, 3)),
+                jnp.broadcast_to(n, (R, 3)),
+                jnp.full((R,), s, jnp.float32), cosine))
+            integral = float((pdf * w).sum())
+            assert abs(integral - 1.0) < 2e-2, (s, cosine, integral)
+
+
+def test_nee_glossy_converged_unbiased():
+    """The converged A/B from VERDICT r2 #8: a GLOSSY floor (0 < s < 1)
+    under an emissive sphere — NEE on and off must agree (the old diffuse
+    approximation biased every glossy blend; the exact lerp-lobe pdf
+    removes the bias). Also pins that the cutoff is bias-free: excluding
+    the glossy lanes via nee_smoothness_cutoff converges to the same
+    image too."""
+    b = rt.SceneBuilder()
+    b.add_sphere((0, -100.0, 0), 99.0, (0.8, 0.8, 0.8), smoothness=0.5)
+    b.add_sphere((0, 4.0, 0), 2.0, (0, 0, 0), emission=(1, 1, 1),
+                 emission_strength=5.0)
+    scene = b.build(pad=8)
+    cam = rt.Camera(origin=(0, 2.2, 8.0), look_at=(0, 0.5, 0), fov=35.0,
+                    aspect=1.0)
+    base = rt.RenderParams(width=24, height=24, bounces=2, skybox=False,
+                           backend="jnp")
+    m_off, v_off = _mean_image(scene, cam, base, 160)
+    m_on, v_on = _mean_image(scene, cam, base.replace(nee=True), 160)
+    m_cut, _ = _mean_image(
+        scene, cam, base.replace(nee=True, nee_smoothness_cutoff=0.3), 160)
+    # the r2 diffuse approximation put the NEE/BSDF ratio visibly off on
+    # glossy blends; exact pdf brings it within sampling error
+    assert abs(m_on.mean() - m_off.mean()) < 0.015, (m_on.mean(), m_off.mean())
+    assert abs(m_cut.mean() - m_off.mean()) < 0.015, (m_cut.mean(), m_off.mean())
+    # On a tight glossy lobe (s=0.5) with a big, BSDF-easy emitter the
+    # variance win is small (measured ~7%) — pin only that NEE is not
+    # WORSE; the large-reduction claim lives on the diffuse test above
+    lit = m_off.mean(-1) > 0.01
+    assert v_on[lit].mean() < v_off[lit].mean() * 1.05
