@@ -105,6 +105,18 @@ class KConfig(NamedTuple):
     tri_rows: int = 128
     step_tiles: int = 2
     traversal: str = "span"
+    # Second hierarchy level in the RESIDENT kernel (VERDICT r2 #6):
+    # ``supers`` clusters per super-cluster (multiple of 8; 0 = off). With
+    # supers on, the per-tile prepass slab-tests the (few) super AABBs
+    # first and only the ENTERING supers slab-test their member clusters —
+    # replacing the all-clusters (C, RT) batch. Two wins: (a) prepass cost
+    # drops ~supers-fold for coherent tiles, (b) it makes finer clusters
+    # (cluster=32/64) affordable, which is what actually culls
+    # geometrically for secondary/incoherent rays (bounce-2 tiles pass
+    # 10.2 of 123 coarse clusters — see docs/PERF_NOTES.md culling table).
+    # Span traversal only. A/B knob — flip default once measured on
+    # hardware.
+    supers: int = 0
     # Streaming (tri-blocked) path: triangles ride a second grid dimension
     # in blocks of ``tri_block`` rows instead of keeping the whole scene
     # VMEM-resident — removes the ~30k-triangle VMEM cap. "auto" switches
@@ -146,6 +158,7 @@ def env_config() -> KConfig:
         tri_rows=int(os.environ.get("RTT_TRI_ROWS", "128")),
         step_tiles=int(os.environ.get("RTT_STEP_TILES", "2")),
         traversal=os.environ.get("RTT_TRAVERSAL", "span"),
+        supers=int(os.environ.get("RTT_SUPERS", "0")),
         tri_block=int(os.environ.get("RTT_TRI_BLOCK", "8192")),
         blocked=os.environ.get("RTT_BLOCKED", "auto"),
         blocked_step=int(os.environ.get("RTT_BLOCKED_STEP", "8192")),
@@ -265,6 +278,22 @@ def _cluster_aabbs(scene: Scene, csize: int):
     return jnp.concatenate([lo, hi, jnp.zeros((C, 2), jnp.float32)], axis=1)
 
 
+def _super_aabbs(clu, ss: int, scp: int):
+    """(scp, 8) super-cluster AABBs over groups of ``ss`` cluster rows of
+    ``clu`` (whose row count must be a multiple of ss; all-padding cluster
+    rows carry lo=+inf / hi=-inf and drop out of the min/max). Rows past
+    the real super count are ±inf (vacuously-entering boxes — the kernel
+    masks them by the static real-super count, same convention as
+    _cluster_aabbs)."""
+    n_super = clu.shape[0] // ss
+    lo = clu[:, 0:3].reshape(n_super, ss, 3).min(1)
+    hi = clu[:, 3:6].reshape(n_super, ss, 3).max(1)
+    pad = scp - n_super
+    lo = jnp.pad(lo, ((0, pad), (0, 0)), constant_values=jnp.inf)
+    hi = jnp.pad(hi, ((0, pad), (0, 0)), constant_values=-jnp.inf)
+    return jnp.concatenate([lo, hi, jnp.zeros((scp, 2), jnp.float32)], axis=1)
+
+
 def _slab_test(lo, hi, o, invd, t_min):
     """AABB slab test. ``lo``/``hi``/``o``/``invd`` are (x, y, z) triples
     of broadcast-compatible arrays; returns (tn, tf) with the reference
@@ -340,9 +369,18 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
                          f"{cfg.extract!r}")
     if cfg.traversal not in ("span", "centerout", "nocull", "prepassonly"):
         raise ValueError(f"unknown KConfig.traversal {cfg.traversal!r}")
+    if cfg.supers:
+        if cfg.supers % 8:
+            raise ValueError(f"KConfig.supers must be a multiple of 8 "
+                             f"(sublane tiling), got {cfg.supers}")
+        if cfg.traversal != "span":
+            raise ValueError("KConfig.supers requires traversal='span', "
+                             f"got {cfg.traversal!r}")
     n_sph_chunks = SP // tt_s
     RT, csize = cfg.rt, cfg.cluster
     tri_sub = min(cfg.tri_rows, csize)
+    ss = cfg.supers
+    n_real_super = -(-n_real_clu // ss) if ss else 0
     AR = _attr_rows(textured)        # attr rows (see nearest_hit_attrs_pallas)
     sph_map, tri_map = _attr_copy_maps(textured)
     if n_real_clu is None:
@@ -354,11 +392,17 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
     has_tris = n_real_clu > 0
 
     def kernel(ray_ref, sph_ref, tri_ref, clu_ref, *outs_and_scratch):
+        sup_ref = sup_flag_ref = acc_ref = None
+        rest = list(outs_and_scratch)
+        if ss:
+            sup_ref, rest = rest[0], rest[1:]       # inputs precede outputs
+        if ss:
+            sup_flag_ref, rest = rest[-1], rest[:-1]  # scratch comes last
         if want_attrs:
             (t_out, id_out, attr_out, bt_ref, bi_ref, flag_ref,
-             acc_ref) = outs_and_scratch
+             acc_ref) = rest
         else:
-            t_out, id_out, bt_ref, bi_ref, flag_ref = outs_and_scratch
+            t_out, id_out, bt_ref, bi_ref, flag_ref = rest
 
         def one_tile(L):
             """Full traversal for the cull tile at lane offset L (traced:
@@ -486,6 +530,55 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
                     tri_block(c * csize)
                 return carry
 
+            def super_prepass():
+                """Stage 1 of the two-level prepass (KConfig.supers): slab
+                the few super AABBs at once → per-super flags + span. The
+                member-cluster slabs run lazily inside super_body, only
+                for entering supers."""
+                SCr = sup_ref.shape[0]
+                tn, tf = _slab_test(
+                    (sup_ref[:, 0:1], sup_ref[:, 1:2], sup_ref[:, 2:3]),
+                    (sup_ref[:, 3:4], sup_ref[:, 4:5], sup_ref[:, 5:6]),
+                    (ox, oy, oz), (invdx, invdy, invdz), t_min)  # (SCr, RT)
+                sidx = jax.lax.broadcasted_iota(jnp.int32, (SCr, 1), 0)
+                enter = ((tf >= tn) & alive & (tn < bt_ref[0:1, :])
+                         & (sidx < jnp.int32(n_real_super)))
+                sflag = jnp.max(jnp.where(enter, 1, 0), axis=1,
+                                keepdims=True)
+                sup_flag_ref[:, :] = jnp.broadcast_to(sflag,
+                                                      sup_flag_ref.shape)
+                sfirst = jnp.min(jnp.where(sflag > 0, sidx, SCr))
+                slast = jnp.max(jnp.where(sflag > 0, sidx, -1))
+                return sfirst, slast
+
+            def super_body(s_id, carry):
+                @pl.when(sup_flag_ref[s_id, 0] > 0)
+                def _():
+                    base = s_id * ss
+                    sl = pl.ds(pl.multiple_of(base, ss), ss)
+                    # stage 2: slab only this super's member clusters,
+                    # tightened by the best-t reached so far (earlier
+                    # supers' hits cull later ones — BVH-style early-out)
+                    tn, tf = _slab_test(
+                        (clu_ref[sl, 0:1], clu_ref[sl, 1:2],
+                         clu_ref[sl, 2:3]),
+                        (clu_ref[sl, 3:4], clu_ref[sl, 4:5],
+                         clu_ref[sl, 5:6]),
+                        (ox, oy, oz), (invdx, invdy, invdz), t_min)
+                    cidx = (jax.lax.broadcasted_iota(jnp.int32, (ss, 1), 0)
+                            + base)
+                    enter = ((tf >= tn) & alive & (tn < bt_ref[0:1, :])
+                             & (cidx < jnp.int32(n_real_clu)))
+                    cflag = jnp.max(jnp.where(enter, 1, 0), axis=1,
+                                    keepdims=True)
+                    flag_ref[sl, :] = jnp.broadcast_to(
+                        cflag, (ss, flag_ref.shape[1]))
+                    for off in range(ss):
+                        @pl.when(flag_ref[base + off, 0] > 0)
+                        def _(off=off):
+                            tri_block((base + off) * csize)
+                return carry
+
             def nocull_body(c, carry):
                 tri_block(c * csize)
                 return carry
@@ -499,6 +592,10 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
                     return
                 if cfg.traversal == "nocull":
                     jax.lax.fori_loop(0, TP // csize, nocull_body, 0)
+                    return
+                if ss:
+                    sfirst, slast = super_prepass()
+                    jax.lax.fori_loop(sfirst, slast + 1, super_body, 0)
                     return
                 first, last, c0 = cluster_prepass()
                 if cfg.traversal == "centerout":
@@ -622,6 +719,21 @@ def _nearest_hit_call(scene: Scene, o, d, t_min, alive, want_attrs,
     sph = _pack_spheres(scene)                                   # (SP, 16)
     tri = _pack_tris(scene, textured)                            # (TP, 32|48)
     clu = _cluster_aabbs(scene, csize)                           # (C, 8)
+    ss = cfg.supers
+    if ss:
+        # pad the cluster rows to whole supers (±inf boxes — masked in the
+        # kernel by the real-cluster count) and group them into supers,
+        # whose row count pads to the sublane tile
+        n_super = -(-clu.shape[0] // ss)
+        scp = -(-n_super // 8) * 8
+        pad_rows = n_super * ss - clu.shape[0]
+        if pad_rows:
+            pad = jnp.concatenate(
+                [jnp.full((pad_rows, 3), jnp.inf, jnp.float32),
+                 jnp.full((pad_rows, 3), -jnp.inf, jnp.float32),
+                 jnp.zeros((pad_rows, 2), jnp.float32)], axis=1)
+            clu = jnp.concatenate([clu, pad], axis=0)
+        sup = _super_aabbs(clu, ss, scp)                         # (scp, 8)
     TW = tri.shape[1]
     AR = _attr_rows(textured)
 
@@ -640,9 +752,10 @@ def _nearest_hit_call(scene: Scene, o, d, t_min, alive, want_attrs,
     scratch = [
         pltpu.VMEM((8, RT), jnp.float32),   # running best t
         pltpu.VMEM((8, RT), jnp.int32),     # running best prim id
-        pltpu.VMEM((TP // csize, 128), jnp.int32),  # cluster-enter flags
+        pltpu.VMEM((clu.shape[0], 128), jnp.int32),  # cluster-enter flags
         # (fixed 128-lane rows: one vreg per row keeps the dynamic
-        # flag_ref[c, 0] read aligned for any RT)
+        # flag_ref[c, 0] read aligned for any RT; row count covers the
+        # super-padded cluster set when KConfig.supers is on)
     ]
     if want_attrs:
         out_specs.append(pl.BlockSpec((AR, step), lambda i: (0, i),
@@ -650,19 +763,27 @@ def _nearest_hit_call(scene: Scene, o, d, t_min, alive, want_attrs,
         out_shape.append(jax.ShapeDtypeStruct((AR, Rp), jnp.float32))
         scratch.append(pltpu.VMEM((AR, RT), jnp.float32))  # attr accum
 
+    in_specs = [
+        pl.BlockSpec((8, step), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((SP, 16), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TP, TW), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((clu.shape[0], 8), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [rays, sph, tri, clu]
+    if ss:
+        in_specs.append(pl.BlockSpec((sup.shape[0], 8), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(sup)
+        scratch.append(pltpu.VMEM((sup.shape[0], 128), jnp.int32))
+
     outs = pl.pallas_call(
         kernel,
         grid=(n_steps,),
-        in_specs=[
-            pl.BlockSpec((8, step), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((SP, 16), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TP, TW), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TP // csize, 8), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
@@ -672,7 +793,7 @@ def _nearest_hit_call(scene: Scene, o, d, t_min, alive, want_attrs,
             bytes_accessed=Rp * 8 * 4 + SP * 64 + TP * 128 + Rp * 8,
             transcendentals=0,
         ),
-    )(rays, sph, tri, clu)
+    )(*inputs)
 
     if want_attrs:
         t_out, id_out, attr_out = outs
