@@ -140,6 +140,18 @@ class KConfig(NamedTuple):
     # nonzero per output sum), then 26|40 single-vreg row adds. A/B knob —
     # flip the default once measured on hardware.
     extract: str = "sum"
+    # Möller–Trumbore engine in the RESIDENT kernel: "vpu" = elementwise
+    # component math on (tri_rows, RT) tiles; "mxu" = the pair math as
+    # THREE matmuls per cluster — the scalar triple products decompose as
+    #   det   = -(n·d),            t_num = n·o - (a·n)
+    #   u_num =  e2·(o×d) - (e2×a)·d
+    #   v_num = -(e1·(o×d) - (e1×a)·d)
+    # i.e. [n|e2×a|e1×a](3C,3) @ d(3,RT), n(C,3) @ o(3,RT), and
+    # [e2|e1](2C,3) @ (o×d)(3,RT), all at precision=HIGHEST, with only the
+    # divide/compare epilogue left on the VPU. ~6× fewer VPU cycles per
+    # pair on paper (the SoL lever from docs/PERF_NOTES.md); A/B knob —
+    # flip the default once measured on hardware.
+    mt: str = "vpu"
     # Per-step block lists (scalar-prefetch grid): an XLA-side conservative
     # slab test picks, for every ray step, WHICH triangle blocks any live
     # ray enters; the kernel's tri/cluster index maps then visit only those
@@ -159,6 +171,7 @@ def env_config() -> KConfig:
         step_tiles=int(os.environ.get("RTT_STEP_TILES", "2")),
         traversal=os.environ.get("RTT_TRAVERSAL", "span"),
         supers=int(os.environ.get("RTT_SUPERS", "0")),
+        mt=os.environ.get("RTT_MT", "vpu"),
         tri_block=int(os.environ.get("RTT_TRI_BLOCK", "8192")),
         blocked=os.environ.get("RTT_BLOCKED", "auto"),
         blocked_step=int(os.environ.get("RTT_BLOCKED_STEP", "8192")),
@@ -181,8 +194,8 @@ def _fit_cluster(cfg: KConfig, TP: int) -> KConfig:
     return cfg._replace(cluster=c)
 
 
-def _pack_tris(scene: Scene, textured: bool = False):
-    """(TP, 32|48) plane array:
+def _pack_tris(scene: Scene, textured: bool = False, mxu: bool = False):
+    """(TP, 32|48 [+8]) plane array:
     [a(3) | e1(3) | e2(3) | n(3) | n0(3) | n1(3) | n2(3) | albedo(3) |
      emission(3) | es | smooth | pad(3)] — Möller–Trumbore geometry plus the
     shading attributes the extraction pass reads. ONE array because VMEM
@@ -193,6 +206,11 @@ def _pack_tris(scene: Scene, textured: bool = False):
     tex | ntex | pad(2)] at cols 32-47 so the fused extraction can emit
     interpolated UVs + texture ids in-kernel (the 128-lane VMEM padding
     means the wider plane array costs no extra VMEM).
+
+    ``mxu`` (KConfig.mt == "mxu") appends [e2×a(3) | e1×a(3) | a·n | pad]
+    after the base/textured block — the per-triangle constants that turn
+    the Möller–Trumbore triple products into matmuls (see KConfig.mt).
+    Kernel-side column offset = 48 if textured else 32.
 
     n = e1 × e2 is the unnormalized geometric normal; ray-independent, so
     XLA hoists the packing out of the per-frame loop.
@@ -216,6 +234,12 @@ def _pack_tris(scene: Scene, textured: bool = False):
             scene.tri_tex[:, None].astype(jnp.float32),
             scene.tri_ntex[:, None].astype(jnp.float32),
             jnp.zeros((a.shape[0], 2), jnp.float32),
+        ]
+    if mxu:
+        cols += [
+            jnp.cross(e2, a), jnp.cross(e1, a),
+            jnp.sum(a * n, axis=-1, keepdims=True),
+            jnp.zeros((a.shape[0], 1), jnp.float32),
         ]
     return jnp.concatenate(cols, axis=1)
 
@@ -369,6 +393,9 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
                          f"{cfg.extract!r}")
     if cfg.traversal not in ("span", "centerout", "nocull", "prepassonly"):
         raise ValueError(f"unknown KConfig.traversal {cfg.traversal!r}")
+    if cfg.mt not in ("vpu", "mxu"):
+        raise ValueError(f"KConfig.mt must be 'vpu' or 'mxu', got "
+                         f"{cfg.mt!r}")
     if cfg.supers:
         if cfg.supers % 8:
             raise ValueError(f"KConfig.supers must be a multiple of 8 "
@@ -454,13 +481,57 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
                        + (jnp.int32(SP) + s))
                 _min_fold_refs(t, valid, ids, bt_ref, bi_ref)
 
+            def mt_cluster_mxu(s):
+                """Möller–Trumbore for a whole cluster as three MXU
+                contractions (KConfig.mt docstring derivation): only the
+                divide/compare/fold epilogue stays on the VPU."""
+                mo = 48 if textured else 32      # mxu-prep column offset
+                sl = pl.ds(s, csize)
+                n_cols = tri_ref[sl, 9:12]                     # (csize, 3)
+                lhs_d = jnp.concatenate(
+                    [n_cols, tri_ref[sl, mo:mo + 3],
+                     tri_ref[sl, mo + 3:mo + 6]], axis=0)      # [n|e2×a|e1×a]
+                lhs_x = jnp.concatenate(
+                    [tri_ref[sl, 6:9], tri_ref[sl, 3:6]], axis=0)  # [e2|e1]
+                an = tri_ref[sl, mo + 6:mo + 7]                # (csize, 1)
+                dmat = jnp.concatenate([dx, dy, dz], axis=0)   # (3, RT)
+                omat = jnp.concatenate([ox, oy, oz], axis=0)
+                oxd = jnp.concatenate(
+                    [oy * dz - oz * dy, oz * dx - ox * dz,
+                     ox * dy - oy * dx], axis=0)               # (3, RT)
+
+                def dg(a_m, b_m):
+                    return jax.lax.dot_general(
+                        a_m, b_m, (((1,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+
+                m_d = dg(lhs_d, dmat)                          # (3c, RT)
+                m_o = dg(n_cols, omat)                         # (c, RT)
+                m_x = dg(lhs_x, oxd)                           # (2c, RT)
+                det = -m_d[0:csize]
+                inv = 1.0 / det
+                t = (m_o - an) * inv
+                u = (m_x[0:csize] - m_d[csize:2 * csize]) * inv
+                v = -(m_x[csize:2 * csize] - m_d[2 * csize:3 * csize]) * inv
+                valid = ((det >= TRI_DET_EPS) & (t >= t_min) & (u >= 0.0)
+                         & (v >= 0.0) & (u + v <= 1.0) & alive)
+                ids = (jax.lax.broadcasted_iota(jnp.int32, (csize, RT), 0)
+                       + (jnp.int32(SP) + s))
+                _min_fold_refs(t, valid, ids, bt_ref, bi_ref)
+
             def tri_block(s):
                 """MT on a whole cluster, in tri_rows-row sub-blocks: a
                 (csize,RT) op is csize·RT/1024 vregs and MT keeps ~25-30
                 temporaries live, far beyond the VPU register file — smaller
                 sub-blocks keep live ranges register-resident (spill
                 suspect 2.5 in docs/PERF_NOTES.md). Static Python loop →
-                fully unrolled, no scalar-loop overhead."""
+                fully unrolled, no scalar-loop overhead. The "mxu" engine
+                instead rides the cluster through the systolic array in one
+                shot (KConfig.mt)."""
+                if cfg.mt == "mxu":
+                    mt_cluster_mxu(s)
+                    return
                 for r0 in range(0, csize, tri_sub):
                     tri_rows(s + r0, tri_sub)
 
@@ -717,7 +788,7 @@ def _nearest_hit_call(scene: Scene, o, d, t_min, alive, want_attrs,
 
     textured = want_attrs and scene.num_textures > 0
     sph = _pack_spheres(scene)                                   # (SP, 16)
-    tri = _pack_tris(scene, textured)                            # (TP, 32|48)
+    tri = _pack_tris(scene, textured, cfg.mt == "mxu")  # (TP, 32|48[+8])
     clu = _cluster_aabbs(scene, csize)                           # (C, 8)
     ss = cfg.supers
     if ss:
@@ -1105,7 +1176,8 @@ def _nearest_hit_blocked_call(scene: Scene, o, d, t_min, alive, want_attrs,
     R = o.shape[0]
     SP, TP = scene.padded_spheres, scene.padded_tris
     tt_s = min(SPH_TT, SP)
-    cfg = _fit_cluster(cfg, TP)
+    # the resident-kernel-only engines don't apply on the streaming path
+    cfg = _fit_cluster(cfg._replace(mt="vpu", supers=0), TP)
     csize, RT = cfg.cluster, cfg.rt
     # Mosaic requires the streamed cluster-AABB block's sublane dim
     # (TB // csize) to be divisible by 8 — round the per-block cluster

@@ -235,3 +235,38 @@ def test_supers_validation():
     with _pytest.raises(ValueError, match="span"):
         nearest_hit_pallas(scene, o, d, interpret=INTERPRET,
                            cfg=KConfig(supers=8, traversal="centerout"))
+
+
+def test_mxu_mt_engine_parity():
+    """KConfig.mt='mxu' (Möller–Trumbore as MXU contractions) must match
+    the oracle like the VPU engine does — alone and combined with the
+    two-level prepass, textured and untextured plane layouts."""
+    from ray_tracer_tpu.ops.pallas_intersect import KConfig
+
+    rng = np.random.default_rng(31)
+    b = rt.SceneBuilder()
+    for t in rng.normal(size=(300, 3, 3)) * 5:
+        b.add_mesh(t, np.ones((3, 3)), [0, 1, 2])
+    b.add_sphere((0, 0, 0), 1.5, (1, 0.5, 0.2), smoothness=0.4)
+    scene = b.build(pad=128)
+    o, d = _random_rays(512, seed=32, spread=8.0)
+    _check_cfg(scene, o, d, KConfig(rt=128, cluster=128, step_tiles=1,
+                                    mt="mxu"))
+    _check_cfg(scene, o, d, KConfig(rt=128, cluster=32, tri_rows=32,
+                                    step_tiles=1, mt="mxu", supers=8))
+
+
+def test_mxu_mt_textured_offset():
+    """Textured scenes shift the mxu-prep columns to 48+: the winner-row
+    extraction AND the matmul operands must both read the right columns."""
+    from ray_tracer_tpu.ops.pallas_intersect import KConfig
+    from ray_tracer_tpu.io import load_model
+    import os as _os
+    teapot = "/root/reference/assets/the_utah_teapot.glb"
+    if not _os.path.exists(teapot):
+        pytest.skip("reference assets unavailable")
+    b = rt.SceneBuilder()
+    load_model(teapot, b, placement="origin", smoothness=0.3)
+    scene = b.build()
+    o, d = _random_rays(256, seed=33, spread=3.0)
+    _check_cfg(scene, o, d, KConfig(rt=128, step_tiles=1, mt="mxu"))
