@@ -56,8 +56,16 @@ def parse(spec: str):
             cfg = cfg._replace(cluster=int(part[2:]))
         elif part.startswith("tr"):
             cfg = cfg._replace(tri_rows=int(part[2:]))
+        elif part in ("mxu", "vpu"):
+            cfg = cfg._replace(mt=part)
+        elif part.startswith("sup"):
+            cfg = cfg._replace(supers=int(part[3:]))
+        elif part.startswith("ex"):
+            cfg = cfg._replace(extract=part[2:])
         elif part not in ("", "base"):
             raise ValueError(f"bad config part {part!r}")
+    # tri_rows must divide cluster
+    cfg = cfg._replace(tri_rows=min(cfg.tri_rows, cfg.cluster))
     return cfg, attrs
 
 

@@ -1,0 +1,61 @@
+#!/bin/bash
+# Prioritized measurement queue for when the TPU relay is up.
+# Serial (NEVER two programs on the chip at once — see round-2 notes),
+# per-step timeouts, re-entrant: completed steps leave a marker in
+# $DIR and are skipped on re-run after a relay drop.
+#
+# Usage: bash tools/chip_session.sh [step ...]   (default: all, in order)
+set -u
+cd /root/repo
+DIR=/tmp/chip_session
+mkdir -p "$DIR"
+touch /tmp/stop_probe   # no concurrent probe programs during measurement
+
+run() { # run <name> <timeout> <cmd...>
+  local name=$1 t=$2; shift 2
+  if [ -f "$DIR/$name.done" ]; then echo "== $name: already done"; return 0; fi
+  echo "== $name (timeout ${t}s): $*"
+  local t0=$SECONDS
+  if timeout "$t" "$@" > "$DIR/$name.log" 2>&1; then
+    touch "$DIR/$name.done"
+    echo "== $name OK ($((SECONDS-t0))s)"; tail -3 "$DIR/$name.log"
+  else
+    echo "== $name FAILED rc=$? ($((SECONDS-t0))s)"; tail -5 "$DIR/$name.log"
+  fi
+}
+
+STEPS=("$@")
+sel() { [ ${#STEPS[@]} -eq 0 ] || [[ " ${STEPS[*]} " == *" $1 "* ]]; }
+
+# 1. Compiled-kernel correctness gate (Mosaic lowering of supers/mxu paths)
+sel kerneltests && run kerneltests 900 \
+  env RTT_TEST_PLATFORM=tpu python -m pytest \
+  tests/test_pallas.py tests/test_fused.py tests/test_blocked.py -x -q
+
+# 2. Resident-kernel A/B: MT engine + two-level prepass (decides defaults)
+sel abmain && run abmain 1800 \
+  python tools/ab_kernel.py 6 base mxu sup8 sup8+mxu \
+  sup8+cl32+mxu sup16+cl32 base@bounce1c mxu@bounce1c \
+  sup8+cl32+mxu@bounce1c sup16+cl64@bounce1c
+
+# 3. Winner-extraction A/B + attrs path with the new engines
+sel abattrs && run abattrs 1500 \
+  python tools/ab_kernel.py 6 base+attrs mxu+attrs exmxu+attrs \
+  mxu+exmxu+attrs sup8+cl32+mxu+attrs
+
+# 4. Backward profile: MXU scatter kernel vs XLA scatter (VERDICT #2)
+sel bwd && run bwd 1800 python tools/profile_bwd.py
+
+# 5. Headline bench (fwd, fwd+bwd, parity, textured)
+sel bench && run bench 3600 python bench.py
+
+# 6. Streaming-kernel block-lists A/B (VERDICT #5)
+sel blocked && run blocked 1800 python tools/bench_blocked.py
+
+# 7. Inverse-rendering north star (VERDICT #9)
+sel invert && run invert 3600 python tools/invert_teapot.py
+
+# 8. Scaling (single real chip: 1-chip point + harness sanity)
+sel scaling && run scaling 1200 python tools/scaling_bench.py
+
+echo "== chip_session complete; logs in $DIR"
