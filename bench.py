@@ -44,12 +44,17 @@ BASELINE_RAYS_PER_S = 5_529_000.0
 # Workloads
 # ---------------------------------------------------------------------------
 
+SMOKE = os.environ.get("BENCH_SMOKE") == "1"  # tiny CPU-runnable workload
+# (run as BENCH_SMOKE=1 RTT_PLATFORM=cpu python bench.py — drives the real
+# sections end-to-end without the chip; numbers are meaningless)
+
+
 def build_workload(use_textures=False):
     import numpy as np
     import ray_tracer_tpu as rt
     from ray_tracer_tpu.io import load_model
 
-    width, height = 1920, 1080
+    width, height = (256, 144) if SMOKE else (1920, 1080)
     params = rt.RenderParams(
         width=width, height=height, bounces=3, rays_per_pixel=1,
         skybox=True, backend="auto",
@@ -127,7 +132,7 @@ def _ctx_workload(ctx):
 def section_fwd(ctx):
     import jax
     scene, basis, params = _ctx_workload(ctx)
-    frames = int(os.environ.get("BENCH_FRAMES", "32"))
+    frames = int(os.environ.get("BENCH_FRAMES", "2" if SMOKE else "32"))
     rays_per_s, dt, compile_s = _fwd_throughput(scene, basis, params, frames)
     print(f"# fwd {dt:.3f}s/{frames}f = {rays_per_s/1e6:.1f} M segs/s "
           f"(compile {compile_s:.1f}s)", file=sys.stderr)
@@ -286,7 +291,7 @@ def section_textured(ctx):
     from ray_tracer_tpu.renderer import camera_basis
     scene, cam, params = build_workload(use_textures=True)
     basis = camera_basis(cam.replace(aspect=params.aspect))
-    frames = int(os.environ.get("BENCH_FRAMES_TEX", "16"))
+    frames = int(os.environ.get("BENCH_FRAMES_TEX", "2" if SMOKE else "16"))
     rays_per_s, dt, compile_s = _fwd_throughput(scene, basis, params, frames)
     print(f"# textured fwd {dt:.3f}s/{frames}f = {rays_per_s/1e6:.1f} "
           f"M segs/s (compile {compile_s:.1f}s)", file=sys.stderr)
@@ -349,7 +354,11 @@ def worker_main(path):
 # Parent: wait for backend, run worker under a hard timeout, compose.
 # ---------------------------------------------------------------------------
 
-_PROBE_SRC = ("import jax; jax.devices(); import jax.numpy as jnp; "
+# honors RTT_PLATFORM the same way the package __init__ does, so a smoke/
+# CPU run probes the backend it will actually use
+_PROBE_SRC = ("import os, jax; p = os.environ.get('RTT_PLATFORM'); "
+              "p and jax.config.update('jax_platforms', p); "
+              "jax.devices(); import jax.numpy as jnp; "
               "import numpy as np; "
               "assert np.asarray(jnp.ones((8,)) + 1)[0] == 2.0")
 
