@@ -190,7 +190,8 @@ def cmd_invert(args):
     start = dataclasses.replace(scene,
                                 sphere_albedo=jnp.asarray(wrong_np, jnp.float32))
 
-    init_fn, step_fn = make_train_step(params, optax.adam(args.lr))
+    init_fn, step_fn = make_train_step(params, optax.adam(args.lr),
+                                       edge_samples=args.edge_samples)
     trainable, opt_state = init_fn(start, fields=("sphere_albedo",))
     t0 = time.time()
     for i in range(args.steps):
@@ -248,6 +249,10 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--lr", type=float, default=5e-2)
+    p.add_argument("--edge-samples", type=int, default=0,
+                   help="edge-sampled visibility (silhouette) gradients per "
+                        "family per step (0 = interior gradients only); "
+                        "supports thin-lens cameras (aperture > 0)")
     p.set_defaults(fn=cmd_invert)
 
     p = sub.add_parser("benchmark", help="measure rays/s")

@@ -28,8 +28,14 @@ The estimator returns gradients for tri_v0/v1/v2, sphere_center and
 sphere_radius to be ADDED to the interior autodiff gradients
 (see grad.inverse.make_train_step(edge_samples=...)).
 
-Pinhole assumption: the projection inverts the ray-gen map at aperture 0
-(thin-lens blur of the boundary term is ignored — documented approximation).
+Thin-lens cameras (aperture > 0): the rendered image is an expectation
+over lens points l, so the boundary term is E_l of the same contour
+integral taken per lens point — each MC sample draws its own l (uniform
+disk on the (u, v) lens plane, like camera_rays), projects through l onto
+the focal viewport plane, evaluates both side radiances from l, and (for
+spheres) takes the silhouette circle as seen FROM l. At aperture 0 the
+lens offset is exactly zero and this reduces to the pinhole estimator
+bit-for-bit.
 """
 
 from __future__ import annotations
@@ -51,18 +57,23 @@ from ..utils.config import RenderParams
 # Projection (inverse of the ray-gen map at aperture 0)
 # ---------------------------------------------------------------------------
 
-def project_to_image(basis: CameraBasis, x, width: int, height: int):
+def project_to_image(basis: CameraBasis, x, width: int, height: int,
+                     origin=None):
     """World point → image coordinates in PIXEL units (px right, py up,
     matching render_pixels' y-up pixel grid).
 
     Ray-gen (camera.py): dir = ll + px·h + py·v − o with px, py ∈ [0,1].
     Inverting: intersect the ray o→x with the viewport plane spanned by
-    (h, v) anchored at ll."""
-    rel = x - basis.origin                               # (..., 3)
+    (h, v) anchored at ll. ``origin`` (default basis.origin) is the ray
+    origin — a lens point for thin-lens cameras; the viewport plane is a
+    fixed world plane (the focal plane), so projecting from a shifted
+    origin is the exact inverse of the DOF ray-gen at that lens point."""
+    origin = basis.origin if origin is None else origin
+    rel = x - origin                                     # (..., 3)
     # viewport plane normal is w (basis is orthogonal: h ∥ u, v ∥ v̂, both ⊥ w)
-    anchor = basis.lower_left - basis.origin
+    anchor = basis.lower_left - origin
     denom = jnp.sum(rel * basis.w, axis=-1, keepdims=True)
-    tplane = jnp.sum(anchor * basis.w, axis=-1) / jnp.where(
+    tplane = jnp.sum(anchor * basis.w, axis=-1, keepdims=True) / jnp.where(
         jnp.abs(denom) < 1e-12, 1e-12, denom)
     hitp = rel * tplane                                   # point on plane - o
     offset = hitp - anchor
@@ -73,14 +84,17 @@ def project_to_image(basis: CameraBasis, x, width: int, height: int):
     return jnp.stack([px * width, py * height], axis=-1)
 
 
-def _radiance_at(scene, basis, params: RenderParams, pix, state):
-    """Radiance of the ray through image point ``pix`` (pixel units)."""
+def _radiance_at(scene, basis, params: RenderParams, pix, state,
+                 origins=None):
+    """Radiance of the ray through image point ``pix`` (pixel units), from
+    ``origins`` ((N, 3) lens points; default: the pinhole origin)."""
     W, H = params.width, params.height
     px = pix[:, 0] / W
     py = pix[:, 1] / H
+    o = (jnp.broadcast_to(basis.origin, pix.shape[:1] + (3,))
+         if origins is None else origins)
     d = (basis.lower_left + px[:, None] * basis.horizontal
-         + py[:, None] * basis.vertical - basis.origin)
-    o = jnp.broadcast_to(basis.origin, d.shape)
+         + py[:, None] * basis.vertical - o)
     _, rad = trace(scene, o, d, state, params)
     return rad
 
@@ -125,19 +139,35 @@ def boundary_gradients(scene: Scene, basis: CameraBasis, params: RenderParams,
         "sphere_center": jnp.zeros_like(scene.sphere_center),
         "sphere_radius": jnp.zeros_like(scene.sphere_radius),
     }
-    k_tri, k_sph, k_rng = jax.random.split(key, 3)
+    k_tri, k_sph, k_rng, k_lens = jax.random.split(key, 4)
     scene_d = jax.lax.stop_gradient(scene)
 
-    def side_terms(x_img, tangent_img, n_samples, state_seed):
-        """Common per-sample machinery: normal, side radiances, cot·ΔL."""
+    def lens_points(k, n):
+        """(n, 3) per-sample ray origins: uniform-disk lens offsets on the
+        (u, v) plane (camera_rays' DOF model). Exactly basis.origin at
+        aperture 0."""
+        k1, k2 = jax.random.split(k)
+        rr = jnp.sqrt(jax.random.uniform(k1, (n,)))
+        th = jax.random.uniform(k2, (n,)) * (2.0 * np.pi)
+        rd = basis.lens_radius * jnp.stack(
+            [rr * jnp.cos(th), rr * jnp.sin(th)], axis=-1)
+        return (basis.origin + rd[:, 0:1] * basis.u
+                + rd[:, 1:2] * basis.v)
+
+    def side_terms(x_img, tangent_img, n_samples, state_seed, origins):
+        """Common per-sample machinery: normal, side radiances, cot·ΔL.
+        Both side rays share the sample's lens point (correlated sides —
+        the difference ΔL is what matters)."""
         tlen = jnp.linalg.norm(tangent_img, axis=-1)
         that = tangent_img / jnp.maximum(tlen, 1e-12)[:, None]
         nhat = jnp.stack([-that[:, 1], that[:, 0]], axis=-1)
         p_minus = x_img - eps_px * nhat
         p_plus = x_img + eps_px * nhat
         state = state_seed
-        L_minus = _radiance_at(scene_d, basis, params, p_minus, state)
-        L_plus = _radiance_at(scene_d, basis, params, p_plus, state)
+        L_minus = _radiance_at(scene_d, basis, params, p_minus, state,
+                               origins)
+        L_plus = _radiance_at(scene_d, basis, params, p_plus, state,
+                              origins)
         cot = _lookup_cot(cot_image, x_img, W, H)
         # scalar weight per sample: Σ_c cot_c (L⁻ − L⁺)_c
         s = jnp.sum(cot * (L_minus - L_plus), axis=-1)
@@ -156,21 +186,18 @@ def boundary_gradients(scene: Scene, basis: CameraBasis, params: RenderParams,
         va = verts[tri, edge]
         vb = verts[tri, (edge + 1) % 3]
         valid = scene_d.tri_valid[tri] > 0.5
-
-        def h_scalar(va_, vb_, t_, nhat_):
-            x = (1.0 - t_) * va_ + t_ * vb_
-            return jnp.sum(project_to_image(basis, x, W, H) * nhat_)
+        ol = lens_points(jax.random.fold_in(k_lens, 0), n_tri_samples)
 
         x_world = (1.0 - tparam)[:, None] * va + tparam[:, None] * vb
-        x_img = project_to_image(basis, x_world, W, H)
+        x_img = project_to_image(basis, x_world, W, H, ol)
         # image-space tangent dX/dt via jvp along (vb - va)
-        tangent = jax.vmap(lambda xw, dv: jax.jvp(
-            lambda p: project_to_image(basis, p, W, H), (xw,), (dv,))[1]
-        )(x_world, vb - va)
+        tangent = jax.vmap(lambda xw, dv, o_: jax.jvp(
+            lambda p: project_to_image(basis, p, W, H, o_), (xw,), (dv,))[1]
+        )(x_world, vb - va, ol)
 
         state = jax.random.bits(
             jax.random.fold_in(k_rng, 0), (n_tri_samples,), dtype=jnp.uint32)
-        nhat, tlen, s = side_terms(x_img, tangent, n_tri_samples, state)
+        nhat, tlen, s = side_terms(x_img, tangent, n_tri_samples, state, ol)
 
         # measure: ∫ dl_img = ∫₀¹ |dX/dt| dt per edge, edges picked
         # uniformly (×n_edges); the boundary velocity n̂·∂x/∂θ is the
@@ -180,10 +207,11 @@ def boundary_gradients(scene: Scene, basis: CameraBasis, params: RenderParams,
                  * (n_edges / n_tri_samples))
 
         # ∂(n̂·x_img)/∂va = (1−t)·Jᵀn̂, ∂/∂vb = t·Jᵀn̂ via one vjp each
-        def g_world(xw, nh):
-            _, vjp = jax.vjp(lambda p: project_to_image(basis, p, W, H), xw)
+        def g_world(xw, nh, o_):
+            _, vjp = jax.vjp(
+                lambda p: project_to_image(basis, p, W, H, o_), xw)
             return vjp(nh)[0]
-        gw = jax.vmap(g_world)(x_world, nhat)             # (N, 3)
+        gw = jax.vmap(g_world)(x_world, nhat, ol)         # (N, 3)
         ga = coeff[:, None] * (1.0 - tparam)[:, None] * gw
         gb = coeff[:, None] * tparam[:, None] * gw
         for k in range(3):
@@ -202,9 +230,11 @@ def boundary_gradients(scene: Scene, basis: CameraBasis, params: RenderParams,
         phi = jax.random.uniform(kp, (n_sph_samples,)) * 2.0 * np.pi
         valid = ((scene_d.sphere_valid[sid] > 0.5)
                  & (scene_d.sphere_radius[sid] > 0.0))
+        ol = lens_points(jax.random.fold_in(k_lens, 1), n_sph_samples)
 
-        def silhouette_point(c, r, phi_):
-            oc = basis.origin - c
+        def silhouette_point(c, r, phi_, o_):
+            # the silhouette circle as seen FROM the sample's lens point
+            oc = o_ - c
             d2 = jnp.maximum(jnp.sum(oc * oc), 1e-12)
             d1 = jnp.sqrt(d2)
             axis = oc / d1
@@ -222,29 +252,32 @@ def boundary_gradients(scene: Scene, basis: CameraBasis, params: RenderParams,
 
         c = scene_d.sphere_center[sid]
         r = scene_d.sphere_radius[sid]
-        x_world = jax.vmap(silhouette_point)(c, r, phi)
-        x_img = jax.vmap(lambda xw: project_to_image(basis, xw, W, H))(x_world)
+        x_world = jax.vmap(silhouette_point)(c, r, phi, ol)
+        x_img = jax.vmap(
+            lambda xw, o_: project_to_image(basis, xw, W, H, o_)
+        )(x_world, ol)
         # tangent along the curve: dX/dφ via jvp
-        tangent = jax.vmap(lambda cc, rr, ph: jax.jvp(
-            lambda p: project_to_image(basis, silhouette_point(cc, rr, p),
-                                       W, H), (ph,), (1.0,))[1]
-        )(c, r, phi)
+        tangent = jax.vmap(lambda cc, rr, ph, o_: jax.jvp(
+            lambda p: project_to_image(
+                basis, silhouette_point(cc, rr, p, o_), W, H, o_),
+            (ph,), (1.0,))[1]
+        )(c, r, phi, ol)
 
         state = jax.random.bits(
             jax.random.fold_in(k_rng, 1), (n_sph_samples,), dtype=jnp.uint32)
-        nhat, tlen, s = side_terms(x_img, tangent, n_sph_samples, state)
-        inside_cam = jnp.sum((basis.origin - c) ** 2, -1) > r * r
+        nhat, tlen, s = side_terms(x_img, tangent, n_sph_samples, state, ol)
+        inside_cam = jnp.sum((ol - c) ** 2, -1) > r * r
         # measure: ∫ dl_img = ∫₀²π |dX/dφ| dφ, spheres picked uniformly
         coeff = (jnp.where(valid & inside_cam, s, 0.0) * tlen
                  * (SP * 2.0 * np.pi / n_sph_samples))
 
-        def g_cr(cc, rr, ph, nh):
+        def g_cr(cc, rr, ph, nh, o_):
             def f(cr):
                 c_, r_ = cr[:3], cr[3]
                 return jnp.sum(project_to_image(
-                    basis, silhouette_point(c_, r_, ph), W, H) * nh)
+                    basis, silhouette_point(c_, r_, ph, o_), W, H, o_) * nh)
             return jax.grad(f)(jnp.concatenate([cc, rr[None]]))
-        g = jax.vmap(g_cr)(c, r, phi, nhat)               # (N, 4)
+        g = jax.vmap(g_cr)(c, r, phi, nhat, ol)           # (N, 4)
         out["sphere_center"] = out["sphere_center"].at[sid].add(
             coeff[:, None] * g[:, :3])
         out["sphere_radius"] = out["sphere_radius"].at[sid].add(
