@@ -1001,11 +1001,55 @@ def _make_blocked_kernel(SP: int, TB: int, n_blocks: int, t_min: float,
                 last = jnp.max(jnp.where(flag > 0, cidx, -1))
                 return first, last
 
+            def mt_cluster_mxu(s):
+                """Cluster MT as MXU contractions (KConfig.mt; same
+                derivation as the resident kernel, local block rows +
+                streamed-block id base). Costs +8 plane columns of DMA
+                per block — the A/B question on the DMA-heavy streaming
+                path."""
+                mo = 48 if textured else 32
+                sl = pl.ds(s, csize)
+                n_cols = tri_ref[sl, 9:12]
+                lhs_d = jnp.concatenate(
+                    [n_cols, tri_ref[sl, mo:mo + 3],
+                     tri_ref[sl, mo + 3:mo + 6]], axis=0)
+                lhs_x = jnp.concatenate(
+                    [tri_ref[sl, 6:9], tri_ref[sl, 3:6]], axis=0)
+                an = tri_ref[sl, mo + 6:mo + 7]
+                dmat = jnp.concatenate([dx, dy, dz], axis=0)
+                omat = jnp.concatenate([ox, oy, oz], axis=0)
+                oxd = jnp.concatenate(
+                    [oy * dz - oz * dy, oz * dx - ox * dz,
+                     ox * dy - oy * dx], axis=0)
+
+                def dg(a_m, b_m):
+                    return jax.lax.dot_general(
+                        a_m, b_m, (((1,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+
+                m_d = dg(lhs_d, dmat)
+                m_o = dg(n_cols, omat)
+                m_x = dg(lhs_x, oxd)
+                det = -m_d[0:csize]
+                inv = 1.0 / det
+                t = (m_o - an) * inv
+                u = (m_x[0:csize] - m_d[csize:2 * csize]) * inv
+                v = -(m_x[csize:2 * csize] - m_d[2 * csize:3 * csize]) * inv
+                valid = ((det >= TRI_DET_EPS) & (t >= t_min) & (u >= 0.0)
+                         & (v >= 0.0) & (u + v <= 1.0) & alive)
+                ids = (jax.lax.broadcasted_iota(jnp.int32, (csize, RT), 0)
+                       + (lo_gid + s))
+                fold_lanes(t, valid, ids)
+
             def span_body(c, carry):
                 @pl.when(flag_ref[c, 0] > 0)
                 def _():
-                    for r0 in range(0, csize, tri_sub):
-                        tri_rows(c * csize + r0, tri_sub)
+                    if cfg.mt == "mxu":
+                        mt_cluster_mxu(c * csize)
+                    else:
+                        for r0 in range(0, csize, tri_sub):
+                            tri_rows(c * csize + r0, tri_sub)
                 return carry
 
             # whole-block AABB early-out: most (tile, block) visits die on
@@ -1176,8 +1220,9 @@ def _nearest_hit_blocked_call(scene: Scene, o, d, t_min, alive, want_attrs,
     R = o.shape[0]
     SP, TP = scene.padded_spheres, scene.padded_tris
     tt_s = min(SPH_TT, SP)
-    # the resident-kernel-only engines don't apply on the streaming path
-    cfg = _fit_cluster(cfg._replace(mt="vpu", supers=0), TP)
+    # supers is resident-kernel-only (the streaming path already has the
+    # block level above clusters); the mt engine applies to both
+    cfg = _fit_cluster(cfg._replace(supers=0), TP)
     csize, RT = cfg.cluster, cfg.rt
     # Mosaic requires the streamed cluster-AABB block's sublane dim
     # (TB // csize) to be divisible by 8 — round the per-block cluster
@@ -1197,7 +1242,7 @@ def _nearest_hit_blocked_call(scene: Scene, o, d, t_min, alive, want_attrs,
 
     textured = want_attrs and scene.num_textures > 0
     sph = _pack_spheres(scene)
-    tri = _pack_tris(scene, textured)
+    tri = _pack_tris(scene, textured, cfg.mt == "mxu")
     clu = _cluster_aabbs(scene, csize)
     TPp = -(-TP // TB) * TB
     if TPp != TP:

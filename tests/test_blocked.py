@@ -230,3 +230,12 @@ def test_block_lists_helper_properties():
         assert (np.diff(row[:c]) > 0).all()            # ascending, unique
         if c:
             assert (row[c:] == row[c - 1]).all()       # repeat-pad
+
+
+def test_blocked_mxu_engine_matches_oracle():
+    """KConfig.mt='mxu' on the STREAMING path: same matmul decomposition,
+    streamed-block id bases, zero-padded mxu columns in padding rows
+    (det=0 -> never valid)."""
+    scene = _mesh_scene(n_tris=700, seed=13)
+    o, d = _random_rays(384, seed=14, spread=8.0)
+    _check_t_id(scene, o, d, BLOCKED_CFG._replace(mt="mxu"))
