@@ -1496,8 +1496,19 @@ def _make_anyhit_kernel(SP: int, TP: int, t_min: float, t_max: float,
     tri_sub = min(cfg.tri_rows, csize)
     if n_real_clu is None:
         n_real_clu = TP // csize
+    ss = cfg.supers
+    n_real_super = -(-n_real_clu // ss) if ss else 0
 
-    def kernel(ray_ref, sph_ref, tri_ref, clu_ref, out, blk_ref, flag_ref):
+    def kernel(*refs):
+        sup_ref = sup_flag_ref = None
+        refs = list(refs)
+        if ss:
+            ray_ref, sph_ref, tri_ref, clu_ref, sup_ref, out, blk_ref, \
+                flag_ref, sup_flag_ref = refs
+        else:
+            ray_ref, sph_ref, tri_ref, clu_ref, out, blk_ref, \
+                flag_ref = refs
+
         def one_tile(L):
             lanes = pl.ds(pl.multiple_of(L, RT), RT)
             ox, oy, oz = (ray_ref[0:1, lanes], ray_ref[1:2, lanes],
@@ -1557,6 +1568,51 @@ def _make_anyhit_kernel(SP: int, TP: int, t_min: float, t_max: float,
                 last = jnp.max(jnp.where(flag > 0, cidx, -1))
                 return first, last
 
+            def mt_cluster_mxu(s):
+                """Any-hit MT via the MXU engine (same decomposition as
+                the closest-hit kernels; blocking test instead of fold)."""
+                mo = 32
+                sl = pl.ds(s, csize)
+                n_cols = tri_ref[sl, 9:12]
+                lhs_d = jnp.concatenate(
+                    [n_cols, tri_ref[sl, mo:mo + 3],
+                     tri_ref[sl, mo + 3:mo + 6]], axis=0)
+                lhs_x = jnp.concatenate(
+                    [tri_ref[sl, 6:9], tri_ref[sl, 3:6]], axis=0)
+                an = tri_ref[sl, mo + 6:mo + 7]
+                dmat = jnp.concatenate([dx, dy, dz], axis=0)
+                omat = jnp.concatenate([ox, oy, oz], axis=0)
+                oxd = jnp.concatenate(
+                    [oy * dz - oz * dy, oz * dx - ox * dz,
+                     ox * dy - oy * dx], axis=0)
+
+                def dg(a_m, b_m):
+                    return jax.lax.dot_general(
+                        a_m, b_m, (((1,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+
+                m_d = dg(lhs_d, dmat)
+                m_o = dg(n_cols, omat)
+                m_x = dg(lhs_x, oxd)
+                det = -m_d[0:csize]
+                inv = 1.0 / det
+                t = (m_o - an) * inv
+                u = (m_x[0:csize] - m_d[csize:2 * csize]) * inv
+                v = -(m_x[csize:2 * csize] - m_d[2 * csize:3 * csize]) * inv
+                hit = ((det >= TRI_DET_EPS) & (t >= t_min) & (u >= 0.0)
+                       & (v >= 0.0) & (u + v <= 1.0) & (t < t_max) & alive)
+                any_hit = jnp.max(jnp.where(hit, 1.0, 0.0), axis=0,
+                                  keepdims=True)
+                blk_ref[0:1, :] = jnp.maximum(blk_ref[0:1, :], any_hit)
+
+            def tri_cluster(s):
+                if cfg.mt == "mxu":
+                    mt_cluster_mxu(s)
+                    return
+                for r0 in range(0, csize, tri_sub):
+                    tri_rows(s + r0, tri_sub)
+
             def span_body(c, carry):
                 # early-exit: once every live lane is blocked, remaining
                 # clusters are skipped (the any-hit advantage)
@@ -1564,8 +1620,55 @@ def _make_anyhit_kernel(SP: int, TP: int, t_min: float, t_max: float,
 
                 @pl.when((flag_ref[c, 0] > 0) & ~settled)
                 def _():
-                    for r0 in range(0, csize, tri_sub):
-                        tri_rows(c * csize + r0, tri_sub)
+                    tri_cluster(c * csize)
+                return carry
+
+            def super_prepass():
+                SCr = sup_ref.shape[0]
+                tn, tf = _slab_test(
+                    (sup_ref[:, 0:1], sup_ref[:, 1:2], sup_ref[:, 2:3]),
+                    (sup_ref[:, 3:4], sup_ref[:, 4:5], sup_ref[:, 5:6]),
+                    (ox, oy, oz), (invdx, invdy, invdz), t_min)
+                sidx = jax.lax.broadcasted_iota(jnp.int32, (SCr, 1), 0)
+                enter = ((tf >= tn) & (tn < t_max) & alive
+                         & (sidx < jnp.int32(n_real_super)))
+                sflag = jnp.max(jnp.where(enter, 1, 0), axis=1,
+                                keepdims=True)
+                sup_flag_ref[:, :] = jnp.broadcast_to(sflag,
+                                                      sup_flag_ref.shape)
+                sfirst = jnp.min(jnp.where(sflag > 0, sidx, SCr))
+                slast = jnp.max(jnp.where(sflag > 0, sidx, -1))
+                return sfirst, slast
+
+            def super_body(s_id, carry):
+                settled_s = jnp.all((blk_ref[0:1, :] > 0.5) | ~alive)
+
+                @pl.when((sup_flag_ref[s_id, 0] > 0) & ~settled_s)
+                def _():
+                    base = s_id * ss
+                    sl = pl.ds(pl.multiple_of(base, ss), ss)
+                    tn, tf = _slab_test(
+                        (clu_ref[sl, 0:1], clu_ref[sl, 1:2],
+                         clu_ref[sl, 2:3]),
+                        (clu_ref[sl, 3:4], clu_ref[sl, 4:5],
+                         clu_ref[sl, 5:6]),
+                        (ox, oy, oz), (invdx, invdy, invdz), t_min)
+                    cidx = (jax.lax.broadcasted_iota(jnp.int32, (ss, 1), 0)
+                            + base)
+                    enter = ((tf >= tn) & (tn < t_max) & alive
+                             & (cidx < jnp.int32(n_real_clu)))
+                    cflag = jnp.max(jnp.where(enter, 1, 0), axis=1,
+                                    keepdims=True)
+                    flag_ref[sl, :] = jnp.broadcast_to(
+                        cflag, (ss, flag_ref.shape[1]))
+                    for off in range(ss):
+                        settled_c = jnp.all((blk_ref[0:1, :] > 0.5)
+                                            | ~alive)
+
+                        @pl.when((flag_ref[base + off, 0] > 0)
+                                 & ~settled_c)
+                        def _(off=off):
+                            tri_cluster((base + off) * csize)
                 return carry
 
             @pl.when(jnp.any(alive))
@@ -1575,8 +1678,13 @@ def _make_anyhit_kernel(SP: int, TP: int, t_min: float, t_max: float,
                 if n_real_clu > 0:
                     @pl.when(jnp.any(alive & ~(blk_ref[0:1, :] > 0.5)))
                     def _():
-                        first, last = prepass()
-                        jax.lax.fori_loop(first, last + 1, span_body, 0)
+                        if ss:
+                            sfirst, slast = super_prepass()
+                            jax.lax.fori_loop(sfirst, slast + 1,
+                                              super_body, 0)
+                        else:
+                            first, last = prepass()
+                            jax.lax.fori_loop(first, last + 1, span_body, 0)
 
             out[:, lanes] = jnp.broadcast_to(blk_ref[0:1, :], (8, RT))
 
@@ -1608,40 +1716,63 @@ def _anyhit_call(scene: Scene, o, d, t_min, t_max, alive, interpret,
     rays = jnp.pad(rays, ((0, 1), (0, Rp - R)))
 
     sph = _pack_spheres(scene)
-    tri = _pack_tris(scene)
+    tri = _pack_tris(scene, False, cfg.mt == "mxu")
     clu = _cluster_aabbs(scene, csize)
+    ss = cfg.supers
+    if ss:
+        if ss % 8 or cfg.traversal != "span":
+            raise ValueError("KConfig.supers must be a multiple of 8 and "
+                             "traversal='span'")
+        n_super = -(-clu.shape[0] // ss)
+        scp = -(-n_super // 8) * 8
+        pad_rows = n_super * ss - clu.shape[0]
+        if pad_rows:
+            pad = jnp.concatenate(
+                [jnp.full((pad_rows, 3), jnp.inf, jnp.float32),
+                 jnp.full((pad_rows, 3), -jnp.inf, jnp.float32),
+                 jnp.zeros((pad_rows, 2), jnp.float32)], axis=1)
+            clu = jnp.concatenate([clu, pad], axis=0)
+        sup = _super_aabbs(clu, ss, scp)
 
     kernel = _make_anyhit_kernel(SP, TP, float(t_min), float(t_max), tt_s,
                                  cfg,
                                  n_real_clu=-(-scene.num_tris // csize),
                                  has_spheres=scene.num_spheres > 0)
+    in_specs = [
+        pl.BlockSpec((8, step), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((SP, 16), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TP, tri.shape[1]), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((clu.shape[0], 8), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [rays, sph, tri, clu]
+    scratch = [
+        pltpu.VMEM((8, RT), jnp.float32),           # blocked mask
+        pltpu.VMEM((clu.shape[0], 128), jnp.int32),  # cluster flags
+    ]
+    if ss:
+        in_specs.append(pl.BlockSpec((sup.shape[0], 8), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(sup)
+        scratch.append(pltpu.VMEM((sup.shape[0], 128), jnp.int32))
     out = pl.pallas_call(
         kernel,
         grid=(n_steps,),
-        in_specs=[
-            pl.BlockSpec((8, step), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((SP, 16), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TP, 32), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TP // csize, 8), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((8, step), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, Rp), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((8, RT), jnp.float32),           # blocked mask
-            pltpu.VMEM((TP // csize, 128), jnp.int32),  # cluster flags
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=Rp * (SP * 25 + TP * 45) // 4,
             bytes_accessed=Rp * 8 * 4 + SP * 64 + TP * 128 + Rp * 4,
             transcendentals=0,
         ),
-    )(rays, sph, tri, clu)
+    )(*inputs)
     return out[0, :R] > 0.5
 
 

@@ -270,3 +270,27 @@ def test_mxu_mt_textured_offset():
     scene = b.build()
     o, d = _random_rays(256, seed=33, spread=3.0)
     _check_cfg(scene, o, d, KConfig(rt=128, step_tiles=1, mt="mxu"))
+
+
+def test_anyhit_engines_match_oracle():
+    """Any-hit kernel with the r3 engines (mxu MT, supers prepass, both):
+    blocked-mask parity against the closest-hit oracle."""
+    from ray_tracer_tpu.ops.pallas_intersect import KConfig, anyhit_pallas
+
+    rng = np.random.default_rng(41)
+    b = rt.SceneBuilder()
+    for t in rng.normal(size=(300, 3, 3)) * 5:
+        b.add_mesh(t, np.ones((3, 3)), [0, 1, 2])
+    b.add_sphere((0, 0, 0), 1.5, (1, 1, 1))
+    scene = b.build(pad=128)
+    o, d = _random_rays(384, seed=42, spread=8.0)
+    t_ref, _ = nearest_hit_jnp(scene, o, d, 1e-4)
+    want = np.asarray(t_ref) < (1.0 - 1e-3)
+    for cfg in (KConfig(rt=128, step_tiles=1, mt="mxu"),
+                KConfig(rt=128, cluster=32, tri_rows=32, step_tiles=1,
+                        supers=8),
+                KConfig(rt=128, cluster=32, tri_rows=32, step_tiles=1,
+                        supers=8, mt="mxu")):
+        got = np.asarray(anyhit_pallas(scene, o, d, interpret=INTERPRET,
+                                       cfg=cfg))
+        np.testing.assert_array_equal(got, want)
