@@ -56,6 +56,11 @@ def _add_common(p):
                         "per-pixel variance; faster Pallas culling)")
     p.add_argument("--chunk-pixels", type=int, default=0)
     p.add_argument("--seed", type=int, default=0, help="random_balls scene seed")
+    p.add_argument("--aperture", type=float, default=None,
+                   help="thin-lens aperture (depth of field; the imgui "
+                        "knob at src/core/context.rs:255)")
+    p.add_argument("--focus-dist", type=float, default=None,
+                   help="focal-plane distance (context.rs:254)")
 
 
 def _build(args):
@@ -80,6 +85,10 @@ def _build(args):
         name = int(args.scene) if args.scene.isdigit() else args.scene
         kw = {"seed": args.seed} if name in ("random_balls", 1) else {}
         scene, cam = builtin_scene(name, aspect=params.aspect, **kw)
+    if args.aperture is not None:
+        cam = cam.replace(aperture=args.aperture)
+    if args.focus_dist is not None:
+        cam = cam.replace(focus_dist=args.focus_dist)
     return scene, cam, params
 
 
