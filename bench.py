@@ -340,7 +340,8 @@ def worker_main(path):
             results.setdefault("errors", {}).pop(name, None)
         except BaseException as exc:  # noqa: BLE001 — recorded, not hidden
             results.setdefault("errors", {})[name] = (
-                str(exc).splitlines() or ["?"])[0][:300]
+                type(exc).__name__ + ": "
+                + (str(exc).splitlines() or ["?"])[0][:280])
             _save_partial(path, results)
             if is_transient(exc):
                 # give the parent a fresh process (fresh backend init)
@@ -425,6 +426,17 @@ def compose(results):
         detail["textured_compile_s"] = tex["compile_s"]
     if results.get("errors"):
         detail["errors"] = results["errors"]
+    # the parity section is the headline's correctness gate: if it FAILED
+    # (an assertion — the compiled kernel diverged from the oracle on this
+    # chip), the fwd number measures a broken kernel and must not be
+    # published as the headline. A parity section lost to a relay outage
+    # (transient error) degrades the evidence but doesn't invalidate it.
+    parity_err = results.get("errors", {}).get("parity", "")
+    if parity_err.startswith("AssertionError"):
+        detail["parity_gate"] = ("FAILED — headline withheld; fwd numbers "
+                                 "kept in detail for diagnosis")
+        detail["fwd_rays_per_s_unverified"] = rays_per_s
+        rays_per_s = 0.0
     return {
         "metric": "rays/s/chip fwd 1080p teapot (brute force)",
         "value": rays_per_s,

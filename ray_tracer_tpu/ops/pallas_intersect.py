@@ -302,6 +302,94 @@ def _cluster_aabbs(scene: Scene, csize: int):
     return jnp.concatenate([lo, hi, jnp.zeros((C, 2), jnp.float32)], axis=1)
 
 
+def _validate_cfg(cfg: KConfig) -> None:
+    """Knob validation shared by ALL kernel call wrappers — a typo'd
+    RTT_MT/RTT_EXTRACT/RTT_TRAVERSAL must raise everywhere, not silently
+    fall through to the default engine on one path."""
+    if cfg.extract not in ("sum", "mxu"):
+        raise ValueError(f"KConfig.extract must be 'sum' or 'mxu', got "
+                         f"{cfg.extract!r}")
+    if cfg.traversal not in ("span", "centerout", "nocull", "prepassonly"):
+        raise ValueError(f"unknown KConfig.traversal {cfg.traversal!r}")
+    if cfg.mt not in ("vpu", "mxu"):
+        raise ValueError(f"KConfig.mt must be 'vpu' or 'mxu', got "
+                         f"{cfg.mt!r}")
+    if cfg.supers:
+        if cfg.supers % 8:
+            raise ValueError(f"KConfig.supers must be a multiple of 8 "
+                             f"(sublane tiling), got {cfg.supers}")
+        if cfg.traversal != "span":
+            raise ValueError("KConfig.supers requires traversal='span', "
+                             f"got {cfg.traversal!r}")
+
+
+def _pad_clusters_for_supers(clu, ss: int):
+    """Shared host-side supers setup: pad the cluster rows to whole supers
+    (±inf boxes — masked in the kernels by the real-cluster count) and
+    build the super AABBs. Returns (clu, sup)."""
+    n_super = -(-clu.shape[0] // ss)
+    scp = -(-n_super // 8) * 8
+    pad_rows = n_super * ss - clu.shape[0]
+    if pad_rows:
+        pad = jnp.concatenate(
+            [jnp.full((pad_rows, 3), jnp.inf, jnp.float32),
+             jnp.full((pad_rows, 3), -jnp.inf, jnp.float32),
+             jnp.zeros((pad_rows, 2), jnp.float32)], axis=1)
+        clu = jnp.concatenate([clu, pad], axis=0)
+    return clu, _super_aabbs(clu, ss, scp)
+
+
+def _mt_mxu_pairs(tri_ref, sl, mo, dmat, omat, oxd, t_min):
+    """Möller–Trumbore for one cluster as MXU contractions — ONE
+    definition shared by the resident, streaming and any-hit kernels
+    (same rule as _mt_pairs/_slab_test: the math can never diverge
+    between them). See KConfig.mt for the triple-product derivation.
+
+    Args: tri_ref plane ref; sl cluster row slice; mo mxu-prep column
+    offset (32, or 48 on the textured layout); dmat/omat/oxd the (3, RT)
+    per-tile ray matrices (hoisted by the caller — they are
+    cluster-invariant). Returns (t, geom_valid) shaped (csize, RT);
+    the caller adds its own liveness/t_max masks and fold/any-hit tail.
+    """
+    n_cols = tri_ref[sl, 9:12]
+    lhs_d = jnp.concatenate(
+        [n_cols, tri_ref[sl, mo:mo + 3], tri_ref[sl, mo + 3:mo + 6]],
+        axis=0)                                     # [n | e2×a | e1×a]
+    lhs_x = jnp.concatenate(
+        [tri_ref[sl, 6:9], tri_ref[sl, 3:6]], axis=0)   # [e2 | e1]
+    an = tri_ref[sl, mo + 6:mo + 7]
+
+    def dg(a_m, b_m):
+        return jax.lax.dot_general(
+            a_m, b_m, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+
+    csize = n_cols.shape[0]
+    m_d = dg(lhs_d, dmat)                           # (3c, RT)
+    m_o = dg(n_cols, omat)                          # (c, RT)
+    m_x = dg(lhs_x, oxd)                            # (2c, RT)
+    det = -m_d[0:csize]
+    inv = 1.0 / det
+    t = (m_o - an) * inv
+    u = (m_x[0:csize] - m_d[csize:2 * csize]) * inv
+    v = -(m_x[csize:2 * csize] - m_d[2 * csize:3 * csize]) * inv
+    valid = ((det >= TRI_DET_EPS) & (t >= t_min) & (u >= 0.0)
+             & (v >= 0.0) & (u + v <= 1.0))
+    return t, valid
+
+
+def _ray_mats(ox, oy, oz, dx, dy, dz):
+    """(omat, dmat, oxd): the (3, RT) ray matrices the MXU MT engine
+    contracts against — tile-invariant, so callers hoist ONE evaluation
+    per tile (not per cluster)."""
+    omat = jnp.concatenate([ox, oy, oz], axis=0)
+    dmat = jnp.concatenate([dx, dy, dz], axis=0)
+    oxd = jnp.concatenate(
+        [oy * dz - oz * dy, oz * dx - ox * dz, ox * dy - oy * dx], axis=0)
+    return omat, dmat, oxd
+
+
 def _super_aabbs(clu, ss: int, scp: int):
     """(scp, 8) super-cluster AABBs over groups of ``ss`` cluster rows of
     ``clu`` (whose row count must be a multiple of ss; all-padding cluster
@@ -388,30 +476,16 @@ def _min_fold_refs(t_pairs, valid, ids, bt_ref, bi_ref, lanes=slice(None)):
 def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
                  want_attrs: bool, cfg: KConfig, textured: bool = False,
                  n_real_clu: int | None = None, has_spheres: bool = True):
-    if cfg.extract not in ("sum", "mxu"):
-        raise ValueError(f"KConfig.extract must be 'sum' or 'mxu', got "
-                         f"{cfg.extract!r}")
-    if cfg.traversal not in ("span", "centerout", "nocull", "prepassonly"):
-        raise ValueError(f"unknown KConfig.traversal {cfg.traversal!r}")
-    if cfg.mt not in ("vpu", "mxu"):
-        raise ValueError(f"KConfig.mt must be 'vpu' or 'mxu', got "
-                         f"{cfg.mt!r}")
-    if cfg.supers:
-        if cfg.supers % 8:
-            raise ValueError(f"KConfig.supers must be a multiple of 8 "
-                             f"(sublane tiling), got {cfg.supers}")
-        if cfg.traversal != "span":
-            raise ValueError("KConfig.supers requires traversal='span', "
-                             f"got {cfg.traversal!r}")
+    _validate_cfg(cfg)
     n_sph_chunks = SP // tt_s
     RT, csize = cfg.rt, cfg.cluster
     tri_sub = min(cfg.tri_rows, csize)
     ss = cfg.supers
-    n_real_super = -(-n_real_clu // ss) if ss else 0
     AR = _attr_rows(textured)        # attr rows (see nearest_hit_attrs_pallas)
     sph_map, tri_map = _attr_copy_maps(textured)
     if n_real_clu is None:
         n_real_clu = TP // csize
+    n_real_super = -(-n_real_clu // ss) if ss else 0
     # static elision: a scene with no real spheres (every mesh workload —
     # sphere arrays are pure padding) skips the quadratic fold + sphere
     # extraction entirely; likewise sphere-only scenes skip the triangle
@@ -481,44 +555,22 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
                        + (jnp.int32(SP) + s))
                 _min_fold_refs(t, valid, ids, bt_ref, bi_ref)
 
+            if cfg.mt == "mxu":
+                # cluster-invariant (3, RT) ray matrices — ONE evaluation
+                # per tile, not per visited cluster
+                omat, dmat, oxd = _ray_mats(ox, oy, oz, dx, dy, dz)
+
             def mt_cluster_mxu(s):
                 """Möller–Trumbore for a whole cluster as three MXU
-                contractions (KConfig.mt docstring derivation): only the
-                divide/compare/fold epilogue stays on the VPU."""
+                contractions (shared _mt_mxu_pairs; only the fold tail
+                differs per kernel)."""
                 mo = 48 if textured else 32      # mxu-prep column offset
                 sl = pl.ds(s, csize)
-                n_cols = tri_ref[sl, 9:12]                     # (csize, 3)
-                lhs_d = jnp.concatenate(
-                    [n_cols, tri_ref[sl, mo:mo + 3],
-                     tri_ref[sl, mo + 3:mo + 6]], axis=0)      # [n|e2×a|e1×a]
-                lhs_x = jnp.concatenate(
-                    [tri_ref[sl, 6:9], tri_ref[sl, 3:6]], axis=0)  # [e2|e1]
-                an = tri_ref[sl, mo + 6:mo + 7]                # (csize, 1)
-                dmat = jnp.concatenate([dx, dy, dz], axis=0)   # (3, RT)
-                omat = jnp.concatenate([ox, oy, oz], axis=0)
-                oxd = jnp.concatenate(
-                    [oy * dz - oz * dy, oz * dx - ox * dz,
-                     ox * dy - oy * dx], axis=0)               # (3, RT)
-
-                def dg(a_m, b_m):
-                    return jax.lax.dot_general(
-                        a_m, b_m, (((1,), (0,)), ((), ())),
-                        precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)
-
-                m_d = dg(lhs_d, dmat)                          # (3c, RT)
-                m_o = dg(n_cols, omat)                         # (c, RT)
-                m_x = dg(lhs_x, oxd)                           # (2c, RT)
-                det = -m_d[0:csize]
-                inv = 1.0 / det
-                t = (m_o - an) * inv
-                u = (m_x[0:csize] - m_d[csize:2 * csize]) * inv
-                v = -(m_x[csize:2 * csize] - m_d[2 * csize:3 * csize]) * inv
-                valid = ((det >= TRI_DET_EPS) & (t >= t_min) & (u >= 0.0)
-                         & (v >= 0.0) & (u + v <= 1.0) & alive)
+                t, ok = _mt_mxu_pairs(tri_ref, sl, mo, dmat, omat, oxd,
+                                      t_min)
                 ids = (jax.lax.broadcasted_iota(jnp.int32, (csize, RT), 0)
                        + (jnp.int32(SP) + s))
-                _min_fold_refs(t, valid, ids, bt_ref, bi_ref)
+                _min_fold_refs(t, ok & alive, ids, bt_ref, bi_ref)
 
             def tri_block(s):
                 """MT on a whole cluster, in tri_rows-row sub-blocks: a
@@ -716,9 +768,13 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
                         ok = ids == best_id_v
                         if cfg.extract == "mxu":
                             # one one-hot contraction replaces the per-
-                            # column masked sums (see KConfig.extract)
+                            # column masked sums (see KConfig.extract);
+                            # slice to the merged-table width — the
+                            # mxu-prep tail columns (cfg.mt) are never
+                            # read from rows_all
+                            ew = 48 if textured else 32
                             rows_all = jax.lax.dot_general(
-                                tri_ref[sl, :], ok.astype(jnp.float32),
+                                tri_ref[sl, 0:ew], ok.astype(jnp.float32),
                                 (((0,), (0,)), ((), ())),
                                 precision=jax.lax.Precision.HIGHEST,
                                 preferred_element_type=jnp.float32)
@@ -773,6 +829,7 @@ def _nearest_hit_call(scene: Scene, o, d, t_min, alive, want_attrs,
     R = o.shape[0]
     SP, TP = scene.padded_spheres, scene.padded_tris
     tt_s = min(SPH_TT, SP)
+    _validate_cfg(cfg)
     cfg = _fit_cluster(cfg, TP)
     csize, RT = cfg.cluster, cfg.rt
 
@@ -792,19 +849,7 @@ def _nearest_hit_call(scene: Scene, o, d, t_min, alive, want_attrs,
     clu = _cluster_aabbs(scene, csize)                           # (C, 8)
     ss = cfg.supers
     if ss:
-        # pad the cluster rows to whole supers (±inf boxes — masked in the
-        # kernel by the real-cluster count) and group them into supers,
-        # whose row count pads to the sublane tile
-        n_super = -(-clu.shape[0] // ss)
-        scp = -(-n_super // 8) * 8
-        pad_rows = n_super * ss - clu.shape[0]
-        if pad_rows:
-            pad = jnp.concatenate(
-                [jnp.full((pad_rows, 3), jnp.inf, jnp.float32),
-                 jnp.full((pad_rows, 3), -jnp.inf, jnp.float32),
-                 jnp.zeros((pad_rows, 2), jnp.float32)], axis=1)
-            clu = jnp.concatenate([clu, pad], axis=0)
-        sup = _super_aabbs(clu, ss, scp)                         # (scp, 8)
+        clu, sup = _pad_clusters_for_supers(clu, ss)
     TW = tri.shape[1]
     AR = _attr_rows(textured)
 
@@ -1001,46 +1046,21 @@ def _make_blocked_kernel(SP: int, TB: int, n_blocks: int, t_min: float,
                 last = jnp.max(jnp.where(flag > 0, cidx, -1))
                 return first, last
 
+            if cfg.mt == "mxu":
+                omat, dmat, oxd = _ray_mats(ox, oy, oz, dx, dy, dz)
+
             def mt_cluster_mxu(s):
-                """Cluster MT as MXU contractions (KConfig.mt; same
-                derivation as the resident kernel, local block rows +
-                streamed-block id base). Costs +8 plane columns of DMA
-                per block — the A/B question on the DMA-heavy streaming
+                """Cluster MT via the shared MXU engine (_mt_mxu_pairs);
+                streamed-block id base. Costs +8 plane columns of DMA per
+                block — the A/B question on the DMA-heavy streaming
                 path."""
                 mo = 48 if textured else 32
                 sl = pl.ds(s, csize)
-                n_cols = tri_ref[sl, 9:12]
-                lhs_d = jnp.concatenate(
-                    [n_cols, tri_ref[sl, mo:mo + 3],
-                     tri_ref[sl, mo + 3:mo + 6]], axis=0)
-                lhs_x = jnp.concatenate(
-                    [tri_ref[sl, 6:9], tri_ref[sl, 3:6]], axis=0)
-                an = tri_ref[sl, mo + 6:mo + 7]
-                dmat = jnp.concatenate([dx, dy, dz], axis=0)
-                omat = jnp.concatenate([ox, oy, oz], axis=0)
-                oxd = jnp.concatenate(
-                    [oy * dz - oz * dy, oz * dx - ox * dz,
-                     ox * dy - oy * dx], axis=0)
-
-                def dg(a_m, b_m):
-                    return jax.lax.dot_general(
-                        a_m, b_m, (((1,), (0,)), ((), ())),
-                        precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)
-
-                m_d = dg(lhs_d, dmat)
-                m_o = dg(n_cols, omat)
-                m_x = dg(lhs_x, oxd)
-                det = -m_d[0:csize]
-                inv = 1.0 / det
-                t = (m_o - an) * inv
-                u = (m_x[0:csize] - m_d[csize:2 * csize]) * inv
-                v = -(m_x[csize:2 * csize] - m_d[2 * csize:3 * csize]) * inv
-                valid = ((det >= TRI_DET_EPS) & (t >= t_min) & (u >= 0.0)
-                         & (v >= 0.0) & (u + v <= 1.0) & alive)
+                t, ok = _mt_mxu_pairs(tri_ref, sl, mo, dmat, omat, oxd,
+                                      t_min)
                 ids = (jax.lax.broadcasted_iota(jnp.int32, (csize, RT), 0)
                        + (lo_gid + s))
-                fold_lanes(t, valid, ids)
+                fold_lanes(t, ok & alive, ids)
 
             def span_body(c, carry):
                 @pl.when(flag_ref[c, 0] > 0)
@@ -1222,6 +1242,7 @@ def _nearest_hit_blocked_call(scene: Scene, o, d, t_min, alive, want_attrs,
     tt_s = min(SPH_TT, SP)
     # supers is resident-kernel-only (the streaming path already has the
     # block level above clusters); the mt engine applies to both
+    _validate_cfg(cfg)
     cfg = _fit_cluster(cfg._replace(supers=0), TP)
     csize, RT = cfg.cluster, cfg.rt
     # Mosaic requires the streamed cluster-AABB block's sublane dim
@@ -1568,40 +1589,16 @@ def _make_anyhit_kernel(SP: int, TP: int, t_min: float, t_max: float,
                 last = jnp.max(jnp.where(flag > 0, cidx, -1))
                 return first, last
 
+            if cfg.mt == "mxu":
+                omat, dmat, oxd = _ray_mats(ox, oy, oz, dx, dy, dz)
+
             def mt_cluster_mxu(s):
-                """Any-hit MT via the MXU engine (same decomposition as
-                the closest-hit kernels; blocking test instead of fold)."""
-                mo = 32
+                """Any-hit MT via the shared MXU engine (_mt_mxu_pairs);
+                blocking test instead of fold."""
                 sl = pl.ds(s, csize)
-                n_cols = tri_ref[sl, 9:12]
-                lhs_d = jnp.concatenate(
-                    [n_cols, tri_ref[sl, mo:mo + 3],
-                     tri_ref[sl, mo + 3:mo + 6]], axis=0)
-                lhs_x = jnp.concatenate(
-                    [tri_ref[sl, 6:9], tri_ref[sl, 3:6]], axis=0)
-                an = tri_ref[sl, mo + 6:mo + 7]
-                dmat = jnp.concatenate([dx, dy, dz], axis=0)
-                omat = jnp.concatenate([ox, oy, oz], axis=0)
-                oxd = jnp.concatenate(
-                    [oy * dz - oz * dy, oz * dx - ox * dz,
-                     ox * dy - oy * dx], axis=0)
-
-                def dg(a_m, b_m):
-                    return jax.lax.dot_general(
-                        a_m, b_m, (((1,), (0,)), ((), ())),
-                        precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)
-
-                m_d = dg(lhs_d, dmat)
-                m_o = dg(n_cols, omat)
-                m_x = dg(lhs_x, oxd)
-                det = -m_d[0:csize]
-                inv = 1.0 / det
-                t = (m_o - an) * inv
-                u = (m_x[0:csize] - m_d[csize:2 * csize]) * inv
-                v = -(m_x[csize:2 * csize] - m_d[2 * csize:3 * csize]) * inv
-                hit = ((det >= TRI_DET_EPS) & (t >= t_min) & (u >= 0.0)
-                       & (v >= 0.0) & (u + v <= 1.0) & (t < t_max) & alive)
+                t, ok = _mt_mxu_pairs(tri_ref, sl, 32, dmat, omat, oxd,
+                                      t_min)
+                hit = ok & (t < t_max) & alive
                 any_hit = jnp.max(jnp.where(hit, 1.0, 0.0), axis=0,
                                   keepdims=True)
                 blk_ref[0:1, :] = jnp.maximum(blk_ref[0:1, :], any_hit)
@@ -1704,6 +1701,7 @@ def _anyhit_call(scene: Scene, o, d, t_min, t_max, alive, interpret,
     R = o.shape[0]
     SP, TP = scene.padded_spheres, scene.padded_tris
     tt_s = min(SPH_TT, SP)
+    _validate_cfg(cfg)
     cfg = _fit_cluster(cfg, TP)
     csize, RT = cfg.cluster, cfg.rt
 
@@ -1720,19 +1718,7 @@ def _anyhit_call(scene: Scene, o, d, t_min, t_max, alive, interpret,
     clu = _cluster_aabbs(scene, csize)
     ss = cfg.supers
     if ss:
-        if ss % 8 or cfg.traversal != "span":
-            raise ValueError("KConfig.supers must be a multiple of 8 and "
-                             "traversal='span'")
-        n_super = -(-clu.shape[0] // ss)
-        scp = -(-n_super // 8) * 8
-        pad_rows = n_super * ss - clu.shape[0]
-        if pad_rows:
-            pad = jnp.concatenate(
-                [jnp.full((pad_rows, 3), jnp.inf, jnp.float32),
-                 jnp.full((pad_rows, 3), -jnp.inf, jnp.float32),
-                 jnp.zeros((pad_rows, 2), jnp.float32)], axis=1)
-            clu = jnp.concatenate([clu, pad], axis=0)
-        sup = _super_aabbs(clu, ss, scp)
+        clu, sup = _pad_clusters_for_supers(clu, ss)
 
     kernel = _make_anyhit_kernel(SP, TP, float(t_min), float(t_max), tt_s,
                                  cfg,

@@ -128,3 +128,22 @@ def test_worker_nontransient_continues(tmp_path, monkeypatch):
     saved = bench._load_partial(p)
     assert "parity diverged" in saved["errors"]["bad"]
     assert saved["good"] == {"v": 2}
+
+
+def test_compose_parity_assertion_withholds_headline():
+    """A parity ASSERTION failure (kernel diverged on this chip) zeroes
+    the headline; a parity section lost to a relay outage does not."""
+    out = bench.compose({
+        "fwd": {"rays_per_s": 1e8},
+        "errors": {"parity": "AssertionError: pallas/jnp divergence"},
+    })
+    assert out["value"] == 0.0
+    assert out["detail"]["fwd_rays_per_s_unverified"] == 1e8
+    assert "parity_gate" in out["detail"]
+
+    out = bench.compose({
+        "fwd": {"rays_per_s": 1e8},
+        "errors": {"parity": "RuntimeError: UNAVAILABLE: relay gone"},
+    })
+    assert out["value"] == 1e8
+    assert "parity_gate" not in out["detail"]
