@@ -35,8 +35,11 @@ def _positive_int(s):
 def _add_common(p):
     p.add_argument("--scene", default="balls",
                    help="builtin scene name or id (balls|random_balls|room|metal|0-3)")
-    p.add_argument("--model", default=None,
-                   help="OBJ/glTF/GLB file rendered in a studio scene instead")
+    p.add_argument("--model", default=None, action="append",
+                   help="OBJ/glTF/GLB file rendered in a studio scene "
+                        "instead; repeat to compose several models "
+                        "(placed side by side, the reference loader's "
+                        "multi-model convention — resource.rs:78-84)")
     p.add_argument("--width", type=int, default=800)
     p.add_argument("--height", type=int, default=800)
     p.add_argument("--bounces", type=int, default=3)
@@ -74,7 +77,11 @@ def _build(args):
     if args.model:
         import numpy as _np
         b = SceneBuilder()
-        load_model(args.model, b, placement="origin")
+        # one model centers at the origin; several compose side by side
+        # (the reference loader's x = 3·index placement, resource.rs:78-84)
+        placement = "origin" if len(args.model) == 1 else "reference"
+        for path in args.model:
+            load_model(path, b, placement=placement)
         lo, hi = b.bounds()  # host-side: avoids a device→host pull
         scene = b.build()
         center, extent = (lo + hi) / 2, float(_np.linalg.norm(hi - lo))
@@ -98,6 +105,25 @@ def cmd_render(args):
     from .utils.metrics import StageTimer
 
     st = StageTimer()
+    if getattr(args, "aov", None):
+        from .renderer import camera_basis, render_aov
+        scene, cam, params = _build(args)
+        img = np.asarray(render_aov(scene, camera_basis(cam), params,
+                                    args.aov))
+        if args.output.endswith(".npy"):
+            write_npy(args.output, img)
+        else:
+            # viewable normalization: depth by its max; normals remapped
+            if args.aov == "depth":
+                img = img / max(float(img.max()), 1e-12)
+            elif args.aov == "normal":
+                img = img * 0.5 + 0.5
+            import PIL.Image
+            rgb = np.broadcast_to(img, img.shape[:2] + (3,))[::-1]
+            rgb = (np.clip(rgb, 0.0, 1.0) * 255 + 0.5).astype(np.uint8)
+            PIL.Image.fromarray(rgb, "RGB").save(args.output)
+        print(f"wrote {args.aov} AOV to {args.output}")
+        return
     with st.stage("build"):
         scene, cam, params = _build(args)
         if args.resume:
@@ -246,6 +272,11 @@ def main(argv=None):
     p.add_argument("--resilient", action="store_true",
                    help="host-side safe point per frame chunk + retry on "
                         "transient device/relay failures (long renders)")
+    p.add_argument("--aov", default=None,
+                   choices=["depth", "normal", "albedo", "hit"],
+                   help="render a primary-ray AOV channel instead of the "
+                        "beauty pass (.npy = raw values; .png = normalized "
+                        "for viewing)")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("view", help="interactive progressive viewer (GUI)")

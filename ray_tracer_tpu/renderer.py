@@ -376,6 +376,46 @@ def render_frame(scene: Scene, basis: CameraBasis, params: RenderParams,
     return img.reshape(H, W, 3)
 
 
+@functools.partial(jax.jit, static_argnames=("params", "aov"))
+def render_aov(scene: Scene, basis: CameraBasis, params: RenderParams,
+               aov: str = "depth"):
+    """Primary-ray AOV (arbitrary output variable) image → (H, W, C).
+
+    Extension beyond the reference (whose only output is beauty):
+    deterministic per-pixel geometry channels for debugging, compositing,
+    and as inverse-rendering targets — the whole pipeline stays
+    differentiable, so e.g. depth-supervised geometry recovery works via
+    jax.grad. Rays go through pixel centers (no AA jitter, no DOF): AOVs
+    are aliased by convention.
+
+    aov: "depth"  (H, W, 1) hit distance in units of |d| (+inf → 0),
+         "normal" (H, W, 3) outward unit normal (0 on miss),
+         "albedo" (H, W, 3) surface albedo (0 on miss),
+         "hit"    (H, W, 1) binary coverage mask.
+    """
+    if aov not in ("depth", "normal", "albedo", "hit"):
+        raise ValueError(f"unknown aov {aov!r}")
+    W, H = params.width, params.height
+    pixel_ids = jnp.arange(H * W, dtype=jnp.uint32)
+    x = (pixel_ids % W).astype(jnp.float32) + 0.5
+    y = (pixel_ids // W).astype(jnp.float32) + 0.5
+    px = x / W
+    py = y / H
+    d = (basis.lower_left + px[:, None] * basis.horizontal
+         + py[:, None] * basis.vertical - basis.origin)
+    o = jnp.broadcast_to(basis.origin, d.shape)
+    h = intersect(scene, o, d, t_min=params.t_min, backend=params.backend)
+    if aov == "depth":
+        img = jnp.where(h.hit, h.t, 0.0)[:, None]
+    elif aov == "normal":
+        img = jnp.where(h.hit[:, None], h.normal, 0.0)
+    elif aov == "albedo":
+        img = jnp.where(h.hit[:, None], h.albedo, 0.0)
+    else:
+        img = h.hit.astype(jnp.float32)[:, None]
+    return img.reshape(H, W, -1)
+
+
 def accumulate(prev, frame_img, frame_index):
     """Progressive blend (shaders/ray_tracer.wgsl:59-66)."""
     w = 1.0 / (jnp.float32(frame_index) + 1.0)
