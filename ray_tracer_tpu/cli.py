@@ -133,7 +133,17 @@ def cmd_render(args):
             r = Renderer(scene, cam, params)
     t0 = time.time()
     with st.stage("render"):
-        if args.frames > 1 and r.frames == -1 and params.accumulate:
+        if getattr(args, "adaptive", None) and r.frames == -1 \
+                and params.accumulate:
+            from .renderer import camera_basis, render_adaptive
+            basis = camera_basis(r.camera)
+            img, used = render_adaptive(scene, basis, params, args.frames,
+                                        target_rel_std=args.adaptive)
+            r._image = img
+            r.frames = used - 1
+            print(f"adaptive: converged after {used}/{args.frames} frames",
+                  file=sys.stderr)
+        elif args.frames > 1 and r.frames == -1 and params.accumulate:
             # batch path: all frames accumulate on-device in one dispatch
             # (per-dispatch latency dominates interactive stepping)
             from .renderer import camera_basis, render_progressive
@@ -158,8 +168,9 @@ def cmd_render(args):
         with st.stage("checkpoint"):
             save_renderer(args.checkpoint, r)
         print(f"checkpoint -> {args.checkpoint}", file=sys.stderr)
-    print(f"rendered {args.frames} frame(s) at {params.width}x{params.height} "
-          f"in {dt:.2f}s ({args.frames / dt:.2f} fps)", file=sys.stderr)
+    n_frames = r.frames + 1 if params.accumulate else args.frames
+    print(f"rendered {n_frames} frame(s) at {params.width}x{params.height} "
+          f"in {dt:.2f}s ({n_frames / dt:.2f} fps)", file=sys.stderr)
     with st.stage("io"):
         if args.output.endswith(".npy"):
             write_npy(args.output, img)
@@ -272,6 +283,10 @@ def main(argv=None):
     p.add_argument("--resilient", action="store_true",
                    help="host-side safe point per frame chunk + retry on "
                         "transient device/relay failures (long renders)")
+    p.add_argument("--adaptive", type=float, default=None, metavar="REL",
+                   help="adaptive sampling: stop when 99%% of pixels reach "
+                        "this relative standard error of the mean "
+                        "(--frames becomes the cap); e.g. 0.02")
     p.add_argument("--aov", default=None,
                    choices=["depth", "normal", "albedo", "hit"],
                    help="render a primary-ray AOV channel instead of the "

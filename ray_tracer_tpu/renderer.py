@@ -486,6 +486,67 @@ def render_progressive(scene: Scene, basis: CameraBasis, params: RenderParams,
     return img
 
 
+@functools.partial(jax.jit, static_argnames=("params", "frames"))
+def _render_moments_chunk(scene: Scene, basis: CameraBasis,
+                          params: RenderParams, frames: int,
+                          start_frame, sums):
+    """Accumulate per-pixel first/second moments over ``frames`` frames
+    on device (the adaptive-sampling statistics)."""
+    start = jnp.int32(start_frame)
+
+    def step(carry, k):
+        s, s2 = carry
+        img = render_frame(scene, basis, params, start + k)
+        return (s + img, s2 + img * img), None
+
+    (s, s2), _ = jax.lax.scan(step, sums,
+                              jnp.arange(frames, dtype=jnp.int32))
+    return s, s2
+
+
+@jax.jit
+def _adaptive_stats(s, s2, n, target_rel_std):
+    """(mean image, fraction of pixels NOT yet converged) — one scalar
+    pull per check instead of an image pull."""
+    nf = jnp.float32(n)
+    mean = s / nf
+    var = jnp.maximum(s2 / nf - mean * mean, 0.0)
+    # std of the MEAN estimate, relative to a luminance floor (dark pixels
+    # converge by the absolute floor, not a blown-up ratio)
+    rel = jnp.sqrt(var / jnp.maximum(nf - 1.0, 1.0)) / jnp.maximum(
+        jnp.max(mean, axis=-1, keepdims=True), 5e-2)
+    return mean, jnp.mean((jnp.max(rel, axis=-1) > target_rel_std)
+                          .astype(jnp.float32))
+
+
+def render_adaptive(scene: Scene, basis: CameraBasis, params: RenderParams,
+                    max_frames: int, target_rel_std: float = 0.02,
+                    chunk: int = 16, converged_fraction: float = 0.99):
+    """Variance-guided progressive rendering (extension beyond the
+    reference, which renders a fixed frame count): accumulate frames in
+    compiled ``chunk``-frame programs, tracking per-pixel Welford moments
+    on device, and STOP once ≥``converged_fraction`` of pixels have a
+    relative standard error of the mean below ``target_rel_std``. One
+    scalar crosses the device boundary per chunk (image pulls through the
+    tunneled backend cost ~0.7 s — size chunks accordingly).
+
+    Returns (mean image (H, W, 3), frames_rendered).
+    """
+    H, W = params.height, params.width
+    s = jnp.zeros((H, W, 3), jnp.float32)
+    s2 = jnp.zeros((H, W, 3), jnp.float32)
+    n = 0
+    while n < max_frames:
+        k = min(chunk, max_frames - n)
+        s, s2 = _render_moments_chunk(scene, basis, params, k,
+                                      n, (s, s2))
+        n += k
+        mean, frac_noisy = _adaptive_stats(s, s2, n, target_rel_std)
+        if float(frac_noisy) <= 1.0 - converged_fraction:
+            break
+    return mean, n
+
+
 class Renderer:
     """Progressive renderer with reference frame-counter semantics
     (src/core/context.rs:143-146, 176-187).

@@ -162,3 +162,33 @@ def test_render_aov_differentiable():
 
     g = np.asarray(jax.grad(loss)(scene.sphere_center))
     assert np.isfinite(g).all() and (g != 0).any()
+
+
+def test_adaptive_sampling():
+    """Zero-variance view (pure emitter fills the frame) converges after
+    ONE chunk; a noisy scene runs to the cap with target 0; and the
+    adaptive mean equals the progressive accumulation for equal frames."""
+    import jax.numpy as jnp
+    import ray_tracer_tpu as rt
+    from ray_tracer_tpu.renderer import (camera_basis, render_adaptive,
+                                         render_progressive)
+
+    flat = (rt.SceneBuilder()
+            .add_sphere((0, 0, -3), 2.0, (0, 0, 0), emission=(1, 1, 1),
+                        emission_strength=2.0).build(pad=8))
+    cam = rt.Camera(origin=(0, 0, 0), look_at=(0, 0, -1), fov=10.0,
+                    aspect=1.0)
+    params = rt.RenderParams(width=16, height=16, bounces=1, backend="jnp")
+    basis = camera_basis(cam)
+    img, used = render_adaptive(flat, basis, params, 64, 0.05, chunk=4)
+    assert used == 4  # converged at the first check
+    np.testing.assert_allclose(np.asarray(img), 2.0, rtol=1e-5)
+
+    scene, cam2 = rt.builtin_scene("room", aspect=1.0)
+    b2 = camera_basis(cam2)
+    p2 = rt.RenderParams(width=16, height=16, bounces=2, skybox=True,
+                         backend="jnp")
+    img_a, used_a = render_adaptive(scene, b2, p2, 12, 0.0, chunk=4)
+    assert used_a == 12  # unreachable target -> runs to the cap
+    ref = np.asarray(render_progressive(scene, b2, p2, 12))
+    np.testing.assert_allclose(np.asarray(img_a), ref, rtol=1e-4, atol=1e-6)
