@@ -57,6 +57,9 @@ def _add_common(p):
                    help="coherent path tracing: one shared diffuse-lobe "
                         "draw per 128-ray tile per bounce (unbiased, same "
                         "per-pixel variance; faster Pallas culling)")
+    p.add_argument("--clamp", type=float, default=0.0,
+                   help="clamp per-sample radiance (firefly suppression; "
+                        "0 = off)")
     p.add_argument("--chunk-pixels", type=int, default=0)
     p.add_argument("--seed", type=int, default=0, help="random_balls scene seed")
     p.add_argument("--aperture", type=float, default=None,
@@ -73,7 +76,7 @@ def _build(args):
         accumulate=not args.no_accumulate, backend=args.backend,
         chunk_pixels=args.chunk_pixels, nee=args.nee,
         cosine_sampling=args.cosine_sampling, compaction=args.compaction,
-        coherent_scatter=args.coherent)
+        coherent_scatter=args.coherent, clamp=args.clamp)
     if args.model:
         import numpy as _np
         b = SceneBuilder()

@@ -297,6 +297,8 @@ def render_pixels(scene: Scene, basis: CameraBasis, params: RenderParams,
         state, total = carry
         st, o, d = camera_rays(basis, x, y, (W, H), state)
         st, rad = trace(scene, o, d, st, params)
+        if params.clamp > 0.0:
+            rad = jnp.minimum(rad, params.clamp)  # firefly suppression
         return (st, total + rad), None
 
     # total starts as a function of pixel_ids (varying under shard_map);

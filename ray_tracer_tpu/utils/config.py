@@ -78,6 +78,12 @@ class RenderParams:
     # delta lobe NEE cannot sample) is always excluded.
     nee: bool = False
     nee_smoothness_cutoff: float = 1.0
+    # Firefly suppression: clamp each traced sample's radiance to this
+    # value before accumulation (0 = off, the reference behavior). A
+    # standard production knob — biased (energy loss on rare bright
+    # paths) but kills the high-variance outlier pixels that dominate
+    # visual noise at low sample counts.
+    clamp: float = 0.0
     # Coherent path tracing: all 128 rays of a kernel tile share one
     # unit-sphere draw for the diffuse lobe each bounce (per-lane
     # hemisphere flip / normal offset keeps every ray's direction
@@ -114,6 +120,8 @@ class RenderParams:
             raise ValueError(f"unknown compaction {self.compaction!r}")
         if self.coherent_tile < 0:
             raise ValueError("coherent_tile must be >= 0 (0 = kernel tile)")
+        if self.clamp < 0:
+            raise ValueError("clamp must be >= 0 (0 = off)")
 
     @property
     def aspect(self) -> float:

@@ -192,3 +192,25 @@ def test_adaptive_sampling():
     assert used_a == 12  # unreachable target -> runs to the cap
     ref = np.asarray(render_progressive(scene, b2, p2, 12))
     np.testing.assert_allclose(np.asarray(img_a), ref, rtol=1e-4, atol=1e-6)
+
+
+def test_clamp_firefly_suppression():
+    """clamp bounds per-sample radiance; clamp=0 is bitwise reference."""
+    import jax.numpy as jnp
+    import ray_tracer_tpu as rt
+    from ray_tracer_tpu.renderer import camera_basis, render_frame
+
+    b = rt.SceneBuilder()
+    b.add_sphere((0, 0, -4), 1.0, (0, 0, 0), emission=(1, 1, 1),
+                 emission_strength=50.0)
+    scene = b.build(pad=8)
+    cam = rt.Camera(origin=(0, 0, 0), look_at=(0, 0, -1), fov=20.0,
+                    aspect=1.0)
+    basis = camera_basis(cam)
+    p = rt.RenderParams(width=16, height=16, bounces=1, backend="jnp")
+    a = np.asarray(render_frame(scene, basis, p, 0))
+    assert a.max() > 10.0
+    c = np.asarray(render_frame(scene, basis, p.replace(clamp=2.0), 0))
+    assert c.max() <= 2.0 + 1e-6
+    b2 = np.asarray(render_frame(scene, basis, p.replace(clamp=0.0), 0))
+    np.testing.assert_array_equal(a, b2)
