@@ -457,10 +457,27 @@ def main():
 
     deadline = time.time() + float(
         os.environ.get("BENCH_TOTAL_DEADLINE_S", "3600"))
+    path = f"/tmp/rtt_bench_partial_{os.getpid()}.json"
+
+    # If the CALLER's timeout fires while we are still waiting for the
+    # relay or mid-measurement, emit the artifact from whatever completed
+    # instead of dying silently — the one JSON line must always land.
+    import signal
+
+    def _emit_and_exit(signum, frame):
+        results = _load_partial(path)
+        results.setdefault("errors", {})["signal"] = (
+            f"killed by signal {signum} before completion")
+        print(json.dumps(compose(results)), flush=True)
+        os._exit(0)
+
+    for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGHUP):
+        try:
+            signal.signal(sig, _emit_and_exit)
+        except (OSError, ValueError):
+            pass
     attempt_timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT_S", "2100"))
     max_attempts = int(os.environ.get("BENCH_ATTEMPTS", "4"))
-
-    path = f"/tmp/rtt_bench_partial_{os.getpid()}.json"
 
     if not _wait_backend(deadline):
         results = {"errors": {"backend": "axon backend unreachable for the "
