@@ -141,7 +141,8 @@ def cmd_render(args):
             from .renderer import camera_basis, render_adaptive
             basis = camera_basis(r.camera)
             img, used = render_adaptive(scene, basis, params, args.frames,
-                                        target_rel_std=args.adaptive)
+                                        target_rel_std=args.adaptive,
+                                        resilient=args.resilient)
             r._image = img
             r.frames = used - 1
             print(f"adaptive: converged after {used}/{args.frames} frames",

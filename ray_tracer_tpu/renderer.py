@@ -523,7 +523,8 @@ def _adaptive_stats(s, s2, n, target_rel_std):
 
 def render_adaptive(scene: Scene, basis: CameraBasis, params: RenderParams,
                     max_frames: int, target_rel_std: float = 0.02,
-                    chunk: int = 16, converged_fraction: float = 0.99):
+                    chunk: int = 16, converged_fraction: float = 0.99,
+                    resilient: bool = False):
     """Variance-guided progressive rendering (extension beyond the
     reference, which renders a fixed frame count): accumulate frames in
     compiled ``chunk``-frame programs, tracking per-pixel Welford moments
@@ -531,6 +532,11 @@ def render_adaptive(scene: Scene, basis: CameraBasis, params: RenderParams,
     relative standard error of the mean below ``target_rel_std``. One
     scalar crosses the device boundary per chunk (image pulls through the
     tunneled backend cost ~0.7 s — size chunks accordingly).
+
+    ``resilient=True`` adds the render_progressive-style host safe point:
+    the moment images are pulled to the host after each chunk and a chunk
+    whose launch died on a transient relay error is retried from them
+    (costs two image transfers per chunk).
 
     Returns (mean image (H, W, 3), frames_rendered).
     """
@@ -540,8 +546,20 @@ def render_adaptive(scene: Scene, basis: CameraBasis, params: RenderParams,
     n = 0
     while n < max_frames:
         k = min(chunk, max_frames - n)
-        s, s2 = _render_moments_chunk(scene, basis, params, k,
-                                      n, (s, s2))
+        if resilient:
+            from .utils.retry import retry_transient
+            host = (np.asarray(s), np.asarray(s2))
+
+            def launch(_k=k, _n=n, _h=host):
+                out = _render_moments_chunk(
+                    scene, basis, params, _k, _n,
+                    (jnp.asarray(_h[0]), jnp.asarray(_h[1])))
+                return np.asarray(out[0]), np.asarray(out[1])
+
+            s, s2 = (jnp.asarray(a) for a in retry_transient(launch))
+        else:
+            s, s2 = _render_moments_chunk(scene, basis, params, k,
+                                          n, (s, s2))
         n += k
         mean, frac_noisy = _adaptive_stats(s, s2, n, target_rel_std)
         if float(frac_noisy) <= 1.0 - converged_fraction:

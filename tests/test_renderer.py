@@ -214,3 +214,33 @@ def test_clamp_firefly_suppression():
     assert c.max() <= 2.0 + 1e-6
     b2 = np.asarray(render_frame(scene, basis, p.replace(clamp=0.0), 0))
     np.testing.assert_array_equal(a, b2)
+
+
+def test_adaptive_resilient_retries_transient(monkeypatch):
+    """Adaptive rendering retries a chunk from the host safe point on a
+    transient relay failure (same contract as render_progressive)."""
+    import ray_tracer_tpu as rt
+    import ray_tracer_tpu.renderer as renderer_mod
+    from ray_tracer_tpu.renderer import camera_basis, render_adaptive
+
+    scene, cam = rt.builtin_scene("room", aspect=1.0)
+    params = rt.RenderParams(width=8, height=8, bounces=1, backend="jnp")
+    basis = camera_basis(cam)
+
+    real = renderer_mod._render_moments_chunk
+    fails = {"n": 1}
+
+    def flaky(*a, **kw):
+        if fails["n"]:
+            fails["n"] -= 1
+            raise RuntimeError("UNAVAILABLE: relay blip")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(renderer_mod, "_render_moments_chunk", flaky)
+    import ray_tracer_tpu.utils.retry as retry_mod
+    monkeypatch.setattr(retry_mod.time, "sleep", lambda s: None)
+    img, used = render_adaptive(scene, basis, params, 4, 0.0, chunk=2,
+                                resilient=True)
+    assert used == 4 and np.isfinite(img).all()
+    ref, _ = render_adaptive(scene, basis, params, 4, 0.0, chunk=2)
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(ref))
