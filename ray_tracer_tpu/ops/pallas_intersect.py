@@ -1122,10 +1122,24 @@ def _make_blocked_kernel(SP: int, TB: int, n_blocks: int, t_min: float,
                         ids = (jax.lax.broadcasted_iota(
                             jnp.int32, (csize, RT), 0) + lo_id)
                         ok = ids == best_id_v
-                        for row, col in tri_map:
-                            acc_ref[row:row + 1, lanes] += jnp.sum(
-                                jnp.where(ok, tri_ref[sl, col:col + 1], 0.0),
-                                0, keepdims=True)
+                        if cfg.extract == "mxu":
+                            # same one-hot contraction as the resident
+                            # kernel (KConfig.extract), merged width only
+                            ew = 48 if textured else 32
+                            rows_all = jax.lax.dot_general(
+                                tri_ref[sl, 0:ew], ok.astype(jnp.float32),
+                                (((0,), (0,)), ((), ())),
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32)
+                            for row, col in tri_map:
+                                acc_ref[row:row + 1, lanes] += \
+                                    rows_all[col:col + 1, :]
+                        else:
+                            for row, col in tri_map:
+                                acc_ref[row:row + 1, lanes] += jnp.sum(
+                                    jnp.where(ok, tri_ref[sl, col:col + 1],
+                                              0.0),
+                                    0, keepdims=True)
                     return carry
 
                 # incremental: lanes whose winner lives in THIS block are

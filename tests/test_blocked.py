@@ -239,3 +239,22 @@ def test_blocked_mxu_engine_matches_oracle():
     scene = _mesh_scene(n_tris=700, seed=13)
     o, d = _random_rays(384, seed=14, spread=8.0)
     _check_t_id(scene, o, d, BLOCKED_CFG._replace(mt="mxu"))
+
+
+def test_blocked_mxu_extract_matches_oracle():
+    """extract='mxu' on the STREAMING incremental re-extraction: winner
+    rows bit-identical to the oracle gather (the sum-variant guarantee)."""
+    from ray_tracer_tpu.ops.pallas_intersect import nearest_hit_attrs_pallas
+    from ray_tracer_tpu.ops.intersect import _pack_attrs
+
+    scene = _mesh_scene(n_tris=700, seed=15)
+    o, d = _random_rays(384, seed=16, spread=8.0)
+    t_ref, id_ref = nearest_hit_jnp(scene, o, d, 1e-4)
+    for cfg in (BLOCKED_CFG._replace(extract="mxu"),
+                BLOCKED_CFG._replace(extract="mxu", mt="mxu")):
+        t_blk, id_blk, rows = nearest_hit_attrs_pallas(
+            scene, o, d, 1e-4, interpret=INTERPRET, cfg=cfg)
+        hit = np.isfinite(np.asarray(t_ref))
+        same = hit & (np.asarray(id_blk) == np.asarray(id_ref))
+        want = np.asarray(_pack_attrs(scene))[np.asarray(id_ref)[same]]
+        np.testing.assert_array_equal(np.asarray(rows)[same], want)
