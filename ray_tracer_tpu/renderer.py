@@ -270,8 +270,9 @@ def trace(scene: Scene, o, d, state, params: RenderParams):
 
     # Inclusive loop: bounces+1 segments, matching `i <= number_of_bounces`
     # (wgsl:233; SURVEY quirk Q3 — kept, it defines the reference's look).
+    bounce_fn = jax.checkpoint(bounce) if params.remat else bounce
     (o, d, throughput, incoming, alive, emission_ok, state, slot), _ = \
-        jax.lax.scan(bounce, init,
+        jax.lax.scan(bounce_fn, init,
                      jnp.arange(params.bounces + 1, dtype=jnp.int32))
     if compacting:
         # scatter radiance (and RNG state) back to original ray slots

@@ -78,6 +78,14 @@ class RenderParams:
     # delta lobe NEE cannot sample) is always excluded.
     nee: bool = False
     nee_smoothness_cutoff: float = 1.0
+    # Rematerialize the bounce-scan body in the backward pass
+    # (jax.checkpoint): saves only the per-bounce carry instead of every
+    # intermediate (winner rows, shading temporaries — hundreds of MB at
+    # 1080p), recomputing the forward bounce during the backward sweep.
+    # Whether trading HBM residual traffic for a second kernel pass wins
+    # is a hardware A/B (VERDICT r2 #2 — the fwd+bwd gap); gradients are
+    # bit-identical either way (test-pinned).
+    remat: bool = False
     # Firefly suppression: clamp each traced sample's radiance to this
     # value before accumulation (0 = off, the reference behavior). A
     # standard production knob — biased (energy loss on rare bright

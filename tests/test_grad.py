@@ -165,3 +165,32 @@ def test_textured_vertex_grads_match_fd():
     vm[0, 0] -= eps
     fd = (float(loss(jnp.asarray(vp))) - float(loss(jnp.asarray(vm)))) / (2 * eps)
     np.testing.assert_allclose(g[0, 0], fd, rtol=0.05, atol=1e-4)
+
+
+def test_remat_gradients_identical():
+    """params.remat (bounce-scan rematerialization) must not change
+    forward values or gradients — it only changes what is saved."""
+    import jax
+    import jax.numpy as jnp
+    import ray_tracer_tpu as rt
+    from ray_tracer_tpu.grad.inverse import image_mse, split_scene
+    from ray_tracer_tpu.renderer import camera_basis, render_frame
+
+    scene, cam = rt.builtin_scene("room", aspect=1.0)
+    basis = rt.camera_basis(cam) if hasattr(rt, "camera_basis") else camera_basis(cam)
+    p0 = rt.RenderParams(width=12, height=12, bounces=2, skybox=True,
+                         backend="jnp")
+    p1 = p0.replace(remat=True)
+    a = np.asarray(render_frame(scene, basis, p0, jnp.int32(0)))
+    b = np.asarray(render_frame(scene, basis, p1, jnp.int32(0)))
+    np.testing.assert_array_equal(a, b)
+
+    target = jnp.zeros((12, 12, 3), jnp.float32)
+    trainable, _ = split_scene(scene)
+    g0 = jax.grad(image_mse)(trainable, scene, basis, p0, jnp.int32(0),
+                             target)
+    g1 = jax.grad(image_mse)(trainable, scene, basis, p1, jnp.int32(0),
+                             target)
+    for k in g0:
+        np.testing.assert_allclose(np.asarray(g0[k]), np.asarray(g1[k]),
+                                   rtol=1e-6, atol=1e-8, err_msg=k)
