@@ -84,6 +84,23 @@ def main():
 
     run("grad_full", grad_full, lambda g: np.asarray(g[0].ravel()[0]))
 
+    # --- full grad with bounce-scan rematerialization (params.remat A/B:
+    # saves only per-bounce carries, recomputes the forward bounce in the
+    # backward sweep — wins iff residual HBM traffic beats a 2nd pass)
+    params_r = params.replace(remat=True)
+
+    @jax.jit
+    def grad_remat():
+        def loss_fn(fl):
+            it = iter(fl)
+            merged = [next(it) if m else l for l, m in zip(leaves, is_f)]
+            img = render_frame(jtu.tree_unflatten(treedef, merged), basis,
+                               params_r, jnp.int32(0))
+            return jnp.mean((img - target) ** 2)
+        return jax.grad(loss_fn)(float_leaves)
+
+    run("grad_remat", grad_remat, lambda g: np.asarray(g[0].ravel()[0]))
+
     # --- backward with the scene-grad chain severed -------------------------
     # monkeypatch the winner-rows bwd to return zero scene grads (skips the
     # scatter-add + pack transpose; the ray-chain cotangents through
