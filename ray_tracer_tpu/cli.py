@@ -164,6 +164,11 @@ def cmd_render(args):
                     "per-frame without retry protection")
             for i in range(args.frames):
                 img = r.step()
+        if getattr(args, "denoise", 0):
+            from .denoise import denoise_render
+            from .renderer import camera_basis as _cb
+            img = denoise_render(scene, _cb(r.camera), params, img,
+                                 iterations=args.denoise)
         img = np.asarray(img)  # sync (block_until_ready is unreliable on
         #                        tunneled TPU backends)
     dt = time.time() - t0
@@ -296,6 +301,9 @@ def main(argv=None):
                    help="render a primary-ray AOV channel instead of the "
                         "beauty pass (.npy = raw values; .png = normalized "
                         "for viewing)")
+    p.add_argument("--denoise", type=int, default=0, metavar="N",
+                   help="apply N edge-avoiding a-trous filter iterations "
+                        "guided by the normal/depth AOVs (0 = off)")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("view", help="interactive progressive viewer (GUI)")
