@@ -44,6 +44,7 @@ class Viewer:
         self.renderer = Renderer(scene, camera, params)
         self.controller = CameraController()
         self.scene_id = scene_id
+        self.denoise = 0          # à-trous iterations on the display path
         self._drag_origin = None
         self._running = True
         self._dt = 1.0 / 30.0
@@ -108,6 +109,10 @@ class Viewer:
             self.renderer.set_params(p.replace(skybox=not p.skybox))
         elif k == "c":
             self.renderer.set_params(p.replace(accumulate=not p.accumulate))
+        elif k == "n":
+            # denoise toggle (extension): à-trous filter on the display
+            # path only — the accumulation buffer stays untouched
+            self.denoise = 0 if self.denoise else 3
         elif k == "p":
             fname = f"frame_{int(time.time())}.png"
             from .io.image import write_png
@@ -190,6 +195,12 @@ class Viewer:
         while self._running and (max_frames is None or n < max_frames):
             t0 = time.time()
             img = self.renderer.step()
+            if self.denoise:
+                from .denoise import denoise_render
+                from .renderer import camera_basis
+                img = denoise_render(
+                    self.renderer.scene, camera_basis(self.renderer.camera),
+                    self.renderer.params, img, iterations=self.denoise)
             rgb = to_uint8(np.asarray(img))
             if self.im is None:
                 self.im = self.ax.imshow(rgb)

@@ -117,3 +117,16 @@ def test_scroll_delta_paths():
     assert c.scroll == -20000.0
     c.scroll_pixel_delta(30.0)
     assert c.scroll == -30.0
+
+
+def test_denoise_toggle():
+    """'n' toggles display-path denoising without touching accumulation."""
+    v = make_viewer()
+    assert v.denoise == 0
+    v._on_key(key("n"))
+    assert v.denoise == 3
+    frames_before = v.renderer.frames
+    v.run(max_frames=1)   # one filtered frame draws fine
+    assert v.renderer.frames == frames_before + 1
+    v._on_key(key("n"))
+    assert v.denoise == 0
