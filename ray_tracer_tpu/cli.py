@@ -94,7 +94,12 @@ def _build(args):
     else:
         name = int(args.scene) if args.scene.isdigit() else args.scene
         kw = {"seed": args.seed} if name in ("random_balls", 1) else {}
-        scene, cam = builtin_scene(name, aspect=params.aspect, **kw)
+        try:
+            scene, cam = builtin_scene(name, aspect=params.aspect, **kw)
+        except KeyError:
+            raise ValueError(
+                f"unknown scene {args.scene!r} (choose "
+                "balls|random_balls|room|metal or id 0-3)") from None
     if args.aperture is not None:
         cam = cam.replace(aperture=args.aperture)
     if args.focus_dist is not None:
@@ -332,12 +337,20 @@ def main(argv=None):
 
     args = ap.parse_args(argv)
     if args.verbose:
-        import logging
         logging.basicConfig(
             level=logging.INFO,
             format="%(levelname)s %(name)s: %(message)s")
         logging.getLogger("jax").setLevel(logging.WARNING)
-    args.fn(args)
+    try:
+        args.fn(args)
+    except (ValueError, FileNotFoundError, KeyError) as exc:
+        # user-input errors (bad scene name, missing model file, invalid
+        # RenderParams) get a concise message, not a traceback; real bugs
+        # and device errors still propagate loudly. -v for the traceback.
+        if args.verbose:
+            raise
+        print(f"error: {exc}", file=sys.stderr)
+        raise SystemExit(2)
 
 
 if __name__ == "__main__":
