@@ -29,7 +29,10 @@ if _os.environ.get("RTT_PLATFORM"):
     _jax.config.update("jax_platforms", _os.environ["RTT_PLATFORM"])
 
 from .camera import Camera, CameraBasis, CameraController, camera_basis, camera_rays, update_camera
-from .renderer import Renderer, accumulate, render, render_frame, render_pixels, trace
+from .denoise import denoise
+from .renderer import (Renderer, accumulate, render, render_adaptive,
+                       render_aov, render_frame, render_pixels,
+                       render_progressive, trace)
 from .scene import (
     BUILTIN_SCENES,
     SCENE_IDS,
@@ -47,8 +50,9 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Camera", "CameraBasis", "CameraController", "camera_basis", "camera_rays",
-    "update_camera", "Renderer", "accumulate", "render", "render_frame",
-    "render_pixels", "trace", "Scene", "SceneBuilder", "builtin_scene",
+    "update_camera", "Renderer", "accumulate", "render", "render_adaptive",
+    "render_aov", "render_frame", "render_pixels", "render_progressive",
+    "trace", "denoise", "Scene", "SceneBuilder", "builtin_scene",
     "scene_balls", "scene_metal", "scene_random_balls", "scene_room",
     "BUILTIN_SCENES", "SCENE_IDS", "RenderParams",
 ]
