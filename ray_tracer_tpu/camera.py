@@ -109,7 +109,8 @@ def camera_basis(cam: Camera) -> CameraBasis:
     )
 
 
-def camera_rays(basis: CameraBasis, pix_x, pix_y, size_wh, state):
+def camera_rays(basis: CameraBasis, pix_x, pix_y, size_wh, state,
+                jitter=None):
     """Generate one primary ray per lane (shaders/ray_tracer.wgsl:313-321).
 
     Args:
@@ -118,14 +119,21 @@ def camera_rays(basis: CameraBasis, pix_x, pix_y, size_wh, state):
         *bottom* row (RTiOW convention; the PNG writer flips).
       size_wh: (width, height) python ints or scalars.
       state: uint32 RNG state, same shape as pix_x.
+      jitter: optional (ax, ay) anti-aliasing offsets in [0,1) supplied by
+        the caller (the QMC path, renderer.render_pixels); when None the
+        reference's PCG draws are used (and the state advances exactly as
+        the reference's does).
 
     Returns:
       (state, origins (..., 3), dirs (..., 3)); dirs are unnormalized like
       the reference.
     """
     w, h = size_wh
-    state, ax = sampling.uniform(state)
-    state, ay = sampling.uniform(state)
+    if jitter is None:
+        state, ax = sampling.uniform(state)
+        state, ay = sampling.uniform(state)
+    else:
+        ax, ay = jitter
     px = (pix_x.astype(jnp.float32) + ax) / jnp.float32(w)
     py = (pix_y.astype(jnp.float32) + ay) / jnp.float32(h)
 

@@ -57,6 +57,9 @@ def _add_common(p):
                    help="coherent path tracing: one shared diffuse-lobe "
                         "draw per 128-ray tile per bounce (unbiased, same "
                         "per-pixel variance; faster Pallas culling)")
+    p.add_argument("--qmc", action="store_true",
+                   help="low-discrepancy (R2) anti-aliasing jitter — "
+                        "faster edge/detail convergence over frames")
     p.add_argument("--clamp", type=float, default=0.0,
                    help="clamp per-sample radiance (firefly suppression; "
                         "0 = off)")
@@ -76,7 +79,7 @@ def _build(args):
         accumulate=not args.no_accumulate, backend=args.backend,
         chunk_pixels=args.chunk_pixels, nee=args.nee,
         cosine_sampling=args.cosine_sampling, compaction=args.compaction,
-        coherent_scatter=args.coherent, clamp=args.clamp)
+        coherent_scatter=args.coherent, clamp=args.clamp, qmc=args.qmc)
     if args.model:
         import numpy as _np
         b = SceneBuilder()

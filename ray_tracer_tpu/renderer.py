@@ -293,10 +293,23 @@ def render_pixels(scene: Scene, basis: CameraBasis, params: RenderParams,
     x = (pixel_ids % W)
     y = (pixel_ids // W)
     state = sampling.seed_state(pixel_ids, jnp.abs(frame_index))
+    if params.qmc:
+        # per-pixel Cranley–Patterson rotation (stateless hash — does not
+        # consume the ray RNG stream); the global sample counter walks the
+        # R2 sequence so AA jitter is low-discrepancy ACROSS frames
+        rot_x = sampling.hash_u32(pixel_ids)
+        rot_y = sampling.hash_u32(pixel_ids ^ jnp.uint32(0x9E3779B9))
 
-    def sample(carry, _):
+    def sample(carry, s):
         state, total = carry
-        st, o, d = camera_rays(basis, x, y, (W, H), state)
+        if params.qmc:
+            n = (jnp.abs(frame_index).astype(jnp.uint32)
+                 * jnp.uint32(params.rays_per_pixel) + s.astype(jnp.uint32))
+            jit_xy = sampling.r2_point(n, rot_x, rot_y)
+            st, o, d = camera_rays(basis, x, y, (W, H), state,
+                                   jitter=jit_xy)
+        else:
+            st, o, d = camera_rays(basis, x, y, (W, H), state)
         st, rad = trace(scene, o, d, st, params)
         if params.clamp > 0.0:
             rad = jnp.minimum(rad, params.clamp)  # firefly suppression
@@ -307,7 +320,7 @@ def render_pixels(scene: Scene, basis: CameraBasis, params: RenderParams,
     total0 = jnp.zeros((pixel_ids.shape[0], 3), jnp.float32) * pixel_ids.astype(jnp.float32)[:, None]
     init = (state, total0)
     (state, total), _ = jax.lax.scan(
-        sample, init, None, length=params.rays_per_pixel)
+        sample, init, jnp.arange(params.rays_per_pixel, dtype=jnp.int32))
     return total / jnp.float32(params.rays_per_pixel)
 
 

@@ -43,6 +43,30 @@ def seed_state(pixel_index, frame_index):
     return pixel_index + frame * np.uint32(71939)
 
 
+def hash_u32(x):
+    """Stateless hash of a uint32 array (one generator step seeded at x) —
+    for per-pixel scramble values that must NOT consume the ray's RNG
+    stream (e.g. the QMC Cranley–Patterson rotation)."""
+    return next_u32(x.astype(jnp.uint32))[1]
+
+
+# R2 low-discrepancy sequence (the plastic-number generalization of the
+# golden ratio to 2D), as 0.32 fixed point: the n-th point is
+# (n·G1 mod 2^32, n·G2 mod 2^32) — EXACT modular arithmetic, so
+# stratification never degrades at high frame counts the way float
+# frac(n·g) does.
+R2_G1_U32 = np.uint32(3242174889)   # round(0.7548776662466927 * 2^32)
+R2_G2_U32 = np.uint32(2447445414)   # round(0.5698402909980532 * 2^32)
+_INV_2_32 = np.float32(1.0 / 4294967296.0)
+
+
+def r2_point(n_u32, rot_x_u32, rot_y_u32):
+    """n-th R2 point with per-lane rotation → (ax, ay) f32 in [0, 1)."""
+    ax = (n_u32 * R2_G1_U32 + rot_x_u32).astype(jnp.float32) * _INV_2_32
+    ay = (n_u32 * R2_G2_U32 + rot_y_u32).astype(jnp.float32) * _INV_2_32
+    return ax, ay
+
+
 def next_u32(state):
     """One step of the reference generator (shaders/ray_tracer.wgsl:205-210).
 

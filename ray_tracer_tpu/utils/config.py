@@ -78,6 +78,14 @@ class RenderParams:
     # delta lobe NEE cannot sample) is always excluded.
     nee: bool = False
     nee_smoothness_cutoff: float = 1.0
+    # Low-discrepancy anti-aliasing (extension): the per-frame AA jitter
+    # walks the R2 sequence (exact 0.32 fixed-point arithmetic) with a
+    # per-pixel Cranley–Patterson rotation instead of fresh PCG draws —
+    # pixel error from edge/texture detail converges ~O(1/N) instead of
+    # O(1/sqrt(N)) over accumulated frames (test-pinned). Lens and BSDF
+    # sampling keep the reference's PCG streams. Off by default: qmc=False
+    # is bit-identical to the reference sampler.
+    qmc: bool = False
     # Rematerialize the bounce-scan body in the backward pass
     # (jax.checkpoint): saves only the per-bounce carry instead of every
     # intermediate (winner rows, shading temporaries — hundreds of MB at

@@ -76,3 +76,60 @@ def test_seed_state_decorrelates_frames():
     s0 = sampling.seed_state(pix, 0)
     s1 = sampling.seed_state(pix, 1)
     assert not np.array_equal(np.asarray(s0), np.asarray(s1))
+
+
+def test_r2_sequence_is_stratified():
+    """Fixed-point R2 points are 2D-low-discrepancy: 64 consecutive
+    samples spread over an 8×8 grid with no crowding (max cell count 3+
+    and many empty cells are routine for 64 RANDOM points)."""
+    import jax.numpy as jnp
+    from ray_tracer_tpu import sampling
+
+    n = jnp.arange(64, dtype=jnp.uint32)
+    ax, ay = sampling.r2_point(n, jnp.uint32(0), jnp.uint32(0))
+    cx = np.clip((np.asarray(ax) * 8).astype(int), 0, 7)
+    cy = np.clip((np.asarray(ay) * 8).astype(int), 0, 7)
+    counts = np.zeros((8, 8), int)
+    np.add.at(counts, (cy, cx), 1)
+    assert counts.max() <= 2, counts.max()
+    assert (counts > 0).sum() >= 52, (counts > 0).sum()
+
+
+def test_qmc_converges_faster_on_aa_edges():
+    """bounces=0 emissive silhouette: radiance depends ONLY on the AA
+    sample position, so this isolates the AA sampler. 16 accumulated QMC
+    frames must beat 16 PCG frames against the converged image."""
+    import jax.numpy as jnp
+    import ray_tracer_tpu as rt
+    from ray_tracer_tpu.renderer import camera_basis, render_progressive
+
+    b = rt.SceneBuilder()
+    b.add_sphere((0, 0, -4), 1.0, (0, 0, 0), emission=(1, 1, 1),
+                 emission_strength=1.0)
+    scene = b.build(pad=8)
+    cam = rt.Camera(origin=(0, 0, 0), look_at=(0, 0, -1), fov=40.0,
+                    aspect=1.0)
+    basis = camera_basis(cam)
+    p = rt.RenderParams(width=24, height=24, bounces=0, backend="jnp")
+    ref = np.asarray(render_progressive(scene, basis,
+                                        p.replace(qmc=True), 2048))
+    err_pcg = np.abs(np.asarray(
+        render_progressive(scene, basis, p, 16)) - ref).mean()
+    err_qmc = np.abs(np.asarray(
+        render_progressive(scene, basis, p.replace(qmc=True), 16))
+        - ref).mean()
+    assert err_qmc < 0.5 * err_pcg, (err_qmc, err_pcg)
+
+
+def test_qmc_off_is_bitwise_reference():
+    import jax.numpy as jnp
+    import ray_tracer_tpu as rt
+    from ray_tracer_tpu.renderer import camera_basis, render_frame
+
+    scene, cam = rt.builtin_scene("room", aspect=1.0)
+    p = rt.RenderParams(width=12, height=12, bounces=2, backend="jnp")
+    basis = camera_basis(cam)
+    a = np.asarray(render_frame(scene, basis, p, jnp.int32(0)))
+    b = np.asarray(render_frame(scene, basis, p.replace(qmc=False),
+                                jnp.int32(0)))
+    np.testing.assert_array_equal(a, b)
