@@ -351,12 +351,17 @@ def _mt_mxu_pairs(tri_ref, sl, mo, dmat, omat, oxd, t_min):
     cluster-invariant). Returns (t, geom_valid) shaped (csize, RT);
     the caller adds its own liveness/t_max masks and fold/any-hit tail.
     """
+    # NOTE: the factors are contracted SEPARATELY (six (c,3)@(3,RT) dots)
+    # rather than row-stacked into [n|e2×a|e1×a](3c,3) @ dmat — stacking
+    # needs an in-kernel concatenate of plane slices living at different
+    # lane offsets (cols 9, mo, mo+3), which Mosaic rejects ("result/input
+    # offset mismatch on non-concat dimension", measured on v5e). Same
+    # MXU work either way: the contraction dim is K=3 in both shapes.
     n_cols = tri_ref[sl, 9:12]
-    lhs_d = jnp.concatenate(
-        [n_cols, tri_ref[sl, mo:mo + 3], tri_ref[sl, mo + 3:mo + 6]],
-        axis=0)                                     # [n | e2×a | e1×a]
-    lhs_x = jnp.concatenate(
-        [tri_ref[sl, 6:9], tri_ref[sl, 3:6]], axis=0)   # [e2 | e1]
+    e2xa = tri_ref[sl, mo:mo + 3]
+    e1xa = tri_ref[sl, mo + 3:mo + 6]
+    e2 = tri_ref[sl, 6:9]
+    e1 = tri_ref[sl, 3:6]
     an = tri_ref[sl, mo + 6:mo + 7]
 
     def dg(a_m, b_m):
@@ -365,28 +370,33 @@ def _mt_mxu_pairs(tri_ref, sl, mo, dmat, omat, oxd, t_min):
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
 
-    csize = n_cols.shape[0]
-    m_d = dg(lhs_d, dmat)                           # (3c, RT)
-    m_o = dg(n_cols, omat)                          # (c, RT)
-    m_x = dg(lhs_x, oxd)                            # (2c, RT)
-    det = -m_d[0:csize]
+    det = -dg(n_cols, dmat)                         # (c, RT)
     inv = 1.0 / det
-    t = (m_o - an) * inv
-    u = (m_x[0:csize] - m_d[csize:2 * csize]) * inv
-    v = -(m_x[csize:2 * csize] - m_d[2 * csize:3 * csize]) * inv
+    t = (dg(n_cols, omat) - an) * inv
+    u = (dg(e2, oxd) - dg(e2xa, dmat)) * inv
+    v = -(dg(e1, oxd) - dg(e1xa, dmat)) * inv
     valid = ((det >= TRI_DET_EPS) & (t >= t_min) & (u >= 0.0)
              & (v >= 0.0) & (u + v <= 1.0))
     return t, valid
 
 
-def _ray_mats(ox, oy, oz, dx, dy, dz):
+def _ray_mats(ray_ref, lanes):
     """(omat, dmat, oxd): the (3, RT) ray matrices the MXU MT engine
     contracts against — tile-invariant, so callers hoist ONE evaluation
-    per tile (not per cluster)."""
-    omat = jnp.concatenate([ox, oy, oz], axis=0)
-    dmat = jnp.concatenate([dx, dy, dz], axis=0)
+    per tile (not per cluster).
+
+    Reads CONTIGUOUS (3, RT) ref slices (rows 0-2 = origin, 3-5 =
+    direction in every kernel's ray layout) instead of concatenating
+    per-component (1, RT) slices: Mosaic rejects tpu.concatenate of
+    operands at mismatched sublane/lane offsets (see _mt_mxu_pairs).
+    The oxd concat is safe — its inputs are freshly computed values at
+    offset zero, not ref slices."""
+    omat = ray_ref[0:3, lanes]
+    dmat = ray_ref[3:6, lanes]
+    o1, o2, o3 = omat[0:1], omat[1:2], omat[2:3]
+    d1, d2, d3 = dmat[0:1], dmat[1:2], dmat[2:3]
     oxd = jnp.concatenate(
-        [oy * dz - oz * dy, oz * dx - ox * dz, ox * dy - oy * dx], axis=0)
+        [o2 * d3 - o3 * d2, o3 * d1 - o1 * d3, o1 * d2 - o2 * d1], axis=0)
     return omat, dmat, oxd
 
 
@@ -558,7 +568,7 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
             if cfg.mt == "mxu":
                 # cluster-invariant (3, RT) ray matrices — ONE evaluation
                 # per tile, not per visited cluster
-                omat, dmat, oxd = _ray_mats(ox, oy, oz, dx, dy, dz)
+                omat, dmat, oxd = _ray_mats(ray_ref, lanes)
 
             def mt_cluster_mxu(s):
                 """Möller–Trumbore for a whole cluster as three MXU
@@ -1047,7 +1057,7 @@ def _make_blocked_kernel(SP: int, TB: int, n_blocks: int, t_min: float,
                 return first, last
 
             if cfg.mt == "mxu":
-                omat, dmat, oxd = _ray_mats(ox, oy, oz, dx, dy, dz)
+                omat, dmat, oxd = _ray_mats(ray_ref, lanes)
 
             def mt_cluster_mxu(s):
                 """Cluster MT via the shared MXU engine (_mt_mxu_pairs);
@@ -1604,7 +1614,7 @@ def _make_anyhit_kernel(SP: int, TP: int, t_min: float, t_max: float,
                 return first, last
 
             if cfg.mt == "mxu":
-                omat, dmat, oxd = _ray_mats(ox, oy, oz, dx, dy, dz)
+                omat, dmat, oxd = _ray_mats(ray_ref, lanes)
 
             def mt_cluster_mxu(s):
                 """Any-hit MT via the shared MXU engine (_mt_mxu_pairs);

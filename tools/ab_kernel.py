@@ -137,25 +137,36 @@ def main():
         log(f"bounce-1 rays: {live} live ({100*live/R:.1f}%), "
             f"{tiles} live tiles ({100*tiles/(R//128):.1f}%)")
 
+    failures = 0
     for spec in specs:
         base_spec, _, mode = spec.partition("@")
         cfg, attrs = parse(base_spec)
         f = nearest_hit_attrs_pallas if attrs else nearest_hit_pallas
         if mode == "bounce1":
-            timeit(spec, lambda o, d, f=f, cfg=cfg: f(
-                scene, o, d, alive=alive2, cfg=cfg), o2, d2, R)
+            args = (lambda o, d, f=f, cfg=cfg: f(
+                scene, o, d, alive=alive2, cfg=cfg), o2, d2)
         elif mode == "bounce1c":   # coherent scatter directions
-            timeit(spec, lambda o, d, f=f, cfg=cfg: f(
-                scene, o, d, alive=alive2, cfg=cfg), o2, d2c, R)
+            args = (lambda o, d, f=f, cfg=cfg: f(
+                scene, o, d, alive=alive2, cfg=cfg), o2, d2c)
         elif mode == "dead":       # fully dead wavefront (skip-cost floor)
-            timeit(spec, lambda o, d, f=f, cfg=cfg: f(
-                scene, o, d, alive=jnp.zeros((R,), bool), cfg=cfg), o2, d2, R)
+            args = (lambda o, d, f=f, cfg=cfg: f(
+                scene, o, d, alive=jnp.zeros((R,), bool), cfg=cfg), o2, d2)
         elif mode == "alivetrue":  # primary rays but with an alive mask given
-            timeit(spec, lambda o, d, f=f, cfg=cfg: f(
-                scene, o, d, alive=jnp.ones((R,), bool), cfg=cfg), oc, dc, R)
+            args = (lambda o, d, f=f, cfg=cfg: f(
+                scene, o, d, alive=jnp.ones((R,), bool), cfg=cfg), oc, dc)
         else:
-            timeit(spec, lambda o, d, f=f, cfg=cfg: f(scene, o, d, cfg=cfg),
-                   oc, dc, R)
+            args = (lambda o, d, f=f, cfg=cfg: f(scene, o, d, cfg=cfg),
+                    oc, dc)
+        try:
+            timeit(spec, *args, R)
+        except Exception as e:  # noqa: BLE001 — one bad variant (e.g. a
+            # Mosaic lowering rejection) must not void the rest of the
+            # sweep; the chip session re-runs only what's missing
+            failures += 1
+            log(f"FAILED {spec}: {type(e).__name__}: {str(e)[:300]}")
+    if failures:
+        log(f"{failures}/{len(specs)} specs failed")
+        sys.exit(1)
 
 
 if __name__ == "__main__":
