@@ -157,7 +157,8 @@ def section_fwd_bwd(ctx):
     import jax.numpy as jnp
     import numpy as np
     import jax.tree_util as jtu
-    from ray_tracer_tpu.renderer import render_frame
+    from ray_tracer_tpu.renderer import render_frame, render_pixels
+    from ray_tracer_tpu.grad.inverse import chunked_mse_value_and_grad
 
     scene, basis, params = _ctx_workload(ctx)
     target = jax.lax.stop_gradient(
@@ -170,13 +171,27 @@ def section_fwd_bwd(ctx):
             for l in leaves]
     float_leaves = [l for l, m in zip(leaves, is_f) if m]
 
+    # pixel-chunked gradient accumulation: a whole-frame 1080p backward
+    # wants ~32 GB of HBM (lane-padded (R,·) residuals — see
+    # chunked_mse_value_and_grad); 8 chunks bound it to ~4 GB with
+    # identical gradients
+    chunks = int(os.environ.get("BENCH_GRAD_CHUNKS", "1" if SMOKE else "8"))
+
+    def merge(fl):
+        it = iter(fl)
+        return jtu.tree_unflatten(
+            treedef, [next(it) if m else l for l, m in zip(leaves, is_f)])
+
     @jax.jit
     def grad_step(fl, frame):
+        if chunks > 1:
+            def rp(fl, ids):
+                return render_pixels(merge(fl), basis, params, frame, ids)
+            _, g = chunked_mse_value_and_grad(fl, rp, params, target, chunks)
+            return g
+
         def loss_fn(fl):
-            it = iter(fl)
-            merged = [next(it) if m else l for l, m in zip(leaves, is_f)]
-            img = render_frame(jtu.tree_unflatten(treedef, merged), basis,
-                               params, frame)
+            img = render_frame(merge(fl), basis, params, frame)
             return jnp.mean((img - target) ** 2)
         return jax.grad(loss_fn)(fl)
 

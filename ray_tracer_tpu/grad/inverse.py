@@ -58,13 +58,68 @@ def image_mse(trainable, scene: Scene, basis: CameraBasis,
     return jnp.mean((img - target) ** 2)
 
 
+def chunked_mse_value_and_grad(trainable, render_pixels_fn, params,
+                               target, chunks: int):
+    """value_and_grad of ``mean((render - target)**2)`` accumulated over
+    sequential pixel chunks — bounds backward-pass memory by ~1/chunks.
+
+    Why this exists: on TPU every per-ray (R, 3)/(R, 1) residual the
+    backward saves is lane-padded to (R, 128) by the (8, 128) tile layout
+    (42-128x waste), so a whole-frame 1080p gradient wants ~32 GB of HBM
+    (measured r3: 20 temps of 1.01 GB each, 7.9 MB unpadded). Running
+    fwd+bwd per chunk inside a lax.scan and summing the scene cotangents
+    keeps only one chunk's residuals live; gradients are identical up to
+    fp summation order (each pixel's radiance depends only on its own
+    pixel id — sampling is seeded per pixel, not per array slot).
+
+    ``render_pixels_fn(trainable, pixel_ids) -> (N, 3)`` radiance; chunks
+    walk the same blocked 16x8 pixel order as render_frame so per-tile
+    frustums stay tight for the Pallas kernel's culling.
+    """
+    import numpy as np
+    from ..renderer import _blocked_order
+
+    W, H = params.width, params.height
+    R = W * H
+    if R % chunks:
+        raise ValueError(f"chunks={chunks} must divide W*H={R}")
+    order_np, _ = _blocked_order(W, H)
+    order = jnp.asarray(order_np.astype(np.int32))
+    n = R // chunks
+    tgt = target.reshape(R, 3)[order].reshape(chunks, n, 3)
+    ids = order.reshape(chunks, n)
+    denom = jnp.float32(R * 3)
+
+    def chunk_loss(tr, ids_c, tgt_c):
+        rad = render_pixels_fn(tr, ids_c)
+        return jnp.sum((rad - tgt_c) ** 2) / denom
+
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, trainable)
+
+    def body(carry, xs):
+        loss_acc, grad_acc = carry
+        ids_c, tgt_c = xs
+        loss_c, g = jax.value_and_grad(chunk_loss)(trainable, ids_c, tgt_c)
+        return (loss_acc + loss_c,
+                jax.tree_util.tree_map(jnp.add, grad_acc, g)), None
+
+    (loss, grads), _ = jax.lax.scan(body, (jnp.float32(0.0), zeros),
+                                    (ids, tgt))
+    return loss, grads
+
+
 def make_train_step(params: RenderParams, optimizer=None, mesh=None,
-                    edge_samples: int = 0):
+                    edge_samples: int = 0, grad_chunks: int = 0):
     """Build a jitted SGD/Adam step over trainable scene leaves.
 
     ``edge_samples > 0`` adds the edge-sampled visibility (boundary)
     gradients (grad/edges.py) for geometry fields — without them, autodiff
     sees only shading changes, not silhouette motion.
+
+    ``grad_chunks > 1`` accumulates the gradient over sequential pixel
+    chunks (chunked_mse_value_and_grad) — required for large frames on
+    real HBM (a whole-frame 1080p backward OOMs, see that docstring);
+    single-device only (the sharded path already divides R per device).
 
     Returns (init_fn, step_fn):
       init_fn(scene, fields) -> (trainable, opt_state)
@@ -79,8 +134,19 @@ def make_train_step(params: RenderParams, optimizer=None, mesh=None,
 
     @functools.partial(jax.jit, static_argnames=())
     def step_fn(trainable, opt_state, scene, basis, target, frame_index):
-        loss, grads = jax.value_and_grad(image_mse)(
-            trainable, scene, basis, params, frame_index, target, mesh=mesh)
+        if grad_chunks > 1 and mesh is None:
+            from ..renderer import render_pixels
+
+            def rp(tr, ids):
+                return render_pixels(merge_scene(scene, tr), basis, params,
+                                     frame_index, ids)
+
+            loss, grads = chunked_mse_value_and_grad(
+                trainable, rp, params, target, grad_chunks)
+        else:
+            loss, grads = jax.value_and_grad(image_mse)(
+                trainable, scene, basis, params, frame_index, target,
+                mesh=mesh)
         if edge_samples:
             from .edges import boundary_gradients
             from ..renderer import render_frame

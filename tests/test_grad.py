@@ -194,3 +194,59 @@ def test_remat_gradients_identical():
     for k in g0:
         np.testing.assert_allclose(np.asarray(g0[k]), np.asarray(g1[k]),
                                    rtol=1e-6, atol=1e-8, err_msg=k)
+
+
+def test_chunked_grad_matches_full():
+    """chunked_mse_value_and_grad (the bounded-memory backward the 1080p
+    bench REQUIRES on real HBM — whole-frame residuals want ~32 GB) must
+    reproduce the whole-frame loss and gradients up to fp summation
+    order, on the production Pallas backend."""
+    from ray_tracer_tpu.grad.inverse import chunked_mse_value_and_grad
+    from ray_tracer_tpu.renderer import camera_basis, render_pixels
+
+    scene, cam = rt.scene_metal(aspect=2.0)
+    params = rt.RenderParams(width=64, height=32, bounces=2, skybox=True,
+                             backend="pallas")
+    basis = camera_basis(cam.replace(aspect=2.0))
+    target = jax.lax.stop_gradient(
+        render_frame(scene, basis, params, jnp.int32(1)))
+
+    trainable, _ = split_scene(scene)
+    loss0, g0 = jax.value_and_grad(image_mse)(
+        trainable, scene, basis, params, jnp.int32(0), target)
+
+    def rp(tr, ids):
+        return render_pixels(merge_scene(scene, tr), basis, params,
+                             jnp.int32(0), ids)
+
+    loss1, g1 = chunked_mse_value_and_grad(trainable, rp, params, target, 4)
+    assert abs(float(loss0) - float(loss1)) <= 1e-5 * abs(float(loss0))
+    for k in g0:
+        a, b = np.asarray(g0[k]), np.asarray(g1[k])
+        scale = max(1e-6, float(np.abs(a).max()))
+        assert np.abs(a - b).max() <= 1e-4 * scale, k
+
+
+def test_train_step_grad_chunks_matches():
+    """make_train_step(grad_chunks=4) must take the same optimization step
+    as the whole-frame path."""
+    import optax as _optax
+    from ray_tracer_tpu.renderer import camera_basis
+
+    scene, cam = rt.scene_metal(aspect=1.0)
+    params = rt.RenderParams(width=32, height=32, bounces=1, skybox=True,
+                             backend="jnp")
+    basis = camera_basis(cam)
+    target = jax.lax.stop_gradient(
+        render_frame(scene, basis, params, jnp.int32(1)))
+
+    outs = []
+    for ch in (0, 4):
+        init_fn, step_fn = make_train_step(params, _optax.sgd(1e-2),
+                                           grad_chunks=ch)
+        trainable, opt_state = init_fn(scene, ("sphere_albedo",))
+        tr, _, loss = step_fn(trainable, opt_state, scene, basis, target,
+                              jnp.int32(0))
+        outs.append((float(loss), np.asarray(tr["sphere_albedo"])))
+    assert abs(outs[0][0] - outs[1][0]) <= 1e-5 * max(1e-9, abs(outs[0][0]))
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-5, atol=1e-7)

@@ -62,7 +62,13 @@ def main():
 
     def run(name, fn, sync):
         if only is None or name in only:
-            return timed(name, fn, sync)
+            try:
+                return timed(name, fn, sync)
+            except Exception as e:  # noqa: BLE001 — e.g. grad_full OOMs
+                # on real HBM (32 GB demand, measured r3); the remaining
+                # pieces are exactly what diagnoses it
+                print(f"{name:14s} FAILED: {type(e).__name__}: "
+                      f"{str(e)[:200]}", flush=True)
 
     # --- forward reference point ------------------------------------------
     fwd = jax.jit(lambda: render_frame(scene, basis, params, jnp.int32(0)))
@@ -83,6 +89,27 @@ def main():
         return jax.grad(loss_fn)(float_leaves)
 
     run("grad_full", grad_full, lambda g: np.asarray(g[0].ravel()[0]))
+
+    # --- pixel-chunked grad (the production config: whole-frame 1080p
+    # backward OOMs at ~32 GB from lane-padded (R,·) residuals; 8 chunks
+    # bound it to ~4 GB — see grad.inverse.chunked_mse_value_and_grad)
+    from ray_tracer_tpu.grad.inverse import chunked_mse_value_and_grad
+    from ray_tracer_tpu.renderer import render_pixels
+
+    for ch in (4, 8, 16):
+        @jax.jit
+        def grad_chunked(ch=ch):
+            def rp(fl, ids):
+                it = iter(fl)
+                merged = [next(it) if m else l for l, m in zip(leaves, is_f)]
+                return render_pixels(jtu.tree_unflatten(treedef, merged),
+                                     basis, params, jnp.int32(0), ids)
+            _, g = chunked_mse_value_and_grad(float_leaves, rp, params,
+                                              target, ch)
+            return g
+
+        run(f"grad_chunked{ch}", grad_chunked,
+            lambda g: np.asarray(g[0].ravel()[0]))
 
     # --- full grad with bounce-scan rematerialization (params.remat A/B:
     # saves only per-bounce carries, recomputes the forward bounce in the
