@@ -52,6 +52,10 @@ sel bench && run bench 3600 python bench.py
 # 6. Streaming-kernel block-lists A/B (VERDICT #5)
 sel blocked && run blocked 1800 python tools/bench_blocked.py
 
+# 6b. Streaming block-lists OFF (the A/B against the default-on numbers)
+sel blockedab && run blockedab 1200 \
+  python tools/bench_blocked.py 4 9 160 8192:nolists
+
 # 7. Inverse-rendering north star (VERDICT #9)
 sel invert && run invert 3600 python tools/invert_teapot.py
 
