@@ -137,9 +137,10 @@ class KConfig(NamedTuple):
     # masked sum per merged-table column (26|40 VPU reductions per winner
     # chunk); "mxu" = ONE one-hot contraction  planesᵀ(TW, csize) @
     # m(csize, RT)  per winner chunk at precision=HIGHEST (exact: one
-    # nonzero per output sum), then 26|40 single-vreg row adds. A/B knob —
-    # flip the default once measured on hardware.
-    extract: str = "sum"
+    # nonzero per output sum), then 26|40 single-vreg row adds. Measured
+    # r3 on v5e (ab_kernel, attrs path, primary rays): mxu 27.9 ms vs
+    # sum 29.3 ms — mxu wins ~5%, default flipped per VERDICT r2 #2.
+    extract: str = "mxu"
     # Möller–Trumbore engine in the RESIDENT kernel: "vpu" = elementwise
     # component math on (tri_rows, RT) tiles; "mxu" = the pair math as
     # THREE matmuls per cluster — the scalar triple products decompose as
@@ -149,8 +150,11 @@ class KConfig(NamedTuple):
     # i.e. [n|e2×a|e1×a](3C,3) @ d(3,RT), n(C,3) @ o(3,RT), and
     # [e2|e1](2C,3) @ (o×d)(3,RT), all at precision=HIGHEST, with only the
     # divide/compare epilogue left on the VPU. ~6× fewer VPU cycles per
-    # pair on paper (the SoL lever from docs/PERF_NOTES.md); A/B knob —
-    # flip the default once measured on hardware.
+    # pair on paper — but measured r3 on v5e it LOSES ~2× at every shape
+    # (ab_kernel: mxu 47.9 ms vs vpu 23.8 primary; 28.6 vs 14.4 bounce-1):
+    # the K=3 f32 contraction leaves the systolic array ~2% utilized and
+    # HIGHEST-precision passes triple the cost. Kept as an ablation knob;
+    # default stays "vpu".
     mt: str = "vpu"
     # Per-step block lists (scalar-prefetch grid): an XLA-side conservative
     # slab test picks, for every ray step, WHICH triangle blocks any live

@@ -31,8 +31,8 @@ from ray_tracer_tpu.grad.edges import boundary_gradients
 from ray_tracer_tpu.renderer import render_frame
 from ray_tracer_tpu.utils.retry import retry_transient
 
-STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 80
-SIZE = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+SIZE = int(sys.argv[2]) if len(sys.argv) > 2 else 192
 OUTFILE = sys.argv[3] if len(sys.argv) > 3 else "artifacts/invert_teapot.json"
 
 TRUE_ALBEDO = np.array([0.7, 0.45, 0.25], np.float32)
@@ -50,7 +50,14 @@ def main():
     cam = rt.Camera(origin=tuple(center + ext * np.array([0.7, 0.4, 0.7])),
                     look_at=tuple(center), aspect=1.0, focus_dist=1.0)
     basis = rt.camera_basis(cam)
-    params = rt.RenderParams(width=SIZE, height=SIZE, bounces=1, skybox=True)
+    # rpp=2: with a rigid translation the interior radiance changes only
+    # through WHICH surface point each pixel sees, so the offset signal is
+    # weak relative to 1-rpp Monte-Carlo noise — measured r3: 80 steps at
+    # 128^2/rpp1 stall at off_err ~0.06-0.07 and 240 steps at 64^2/rpp1
+    # DIVERGE (0.148 -> 0.19). Averaging 2 rays/pixel + 192^2 + 8192 edge
+    # samples lifts the gradient SNR enough to converge.
+    params = rt.RenderParams(width=SIZE, height=SIZE, bounces=1, skybox=True,
+                             rays_per_pixel=2)
 
     start_offset = jnp.asarray(0.12 * ext * np.array([1.0, -0.6, 0.4]),
                                jnp.float32)
@@ -94,7 +101,7 @@ def main():
         bg = boundary_gradients(s, basis, params, cot,
                                 jax.random.fold_in(jax.random.PRNGKey(7),
                                                    frame),
-                                n_tri_samples=4096, n_sph_samples=0)
+                                n_tri_samples=8192, n_sph_samples=0)
         g_off = g_off + jnp.sum(
             (bg["tri_v0"] + bg["tri_v1"] + bg["tri_v2"]) * valid, axis=0)
         updates, opt_state = opt.update({"o": g_off, "a": g_alb}, opt_state)
@@ -107,11 +114,18 @@ def main():
     # Adam's g/sqrt(v) ratio stays O(1) as gradients shrink, so constant
     # lr random-walks at step-size amplitude forever (measured: converged
     # by ~step 120, then wandered off).
+    # clip_by_global_norm tames the occasional huge boundary-sample
+    # outlier (a sample landing on a near-tangent silhouette edge) that
+    # otherwise kicks Adam's moments off the descent path.
     opt = optax.multi_transform(
-        {"o": optax.adam(optax.cosine_decay_schedule(0.015 * ext, STEPS,
-                                                     alpha=0.01)),
-         "a": optax.adam(optax.cosine_decay_schedule(0.03, STEPS,
-                                                     alpha=0.01))},
+        {"o": optax.chain(
+            optax.clip_by_global_norm(10.0),
+            optax.adam(optax.cosine_decay_schedule(0.015 * ext, STEPS,
+                                                   alpha=0.005))),
+         "a": optax.chain(
+            optax.clip_by_global_norm(10.0),
+            optax.adam(optax.cosine_decay_schedule(0.03, STEPS,
+                                                   alpha=0.005)))},
         {"o": "o", "a": "a"})
     offset = start_offset
     albedo = jnp.asarray(START_ALBEDO)
