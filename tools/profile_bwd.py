@@ -111,6 +111,76 @@ def main():
         run(f"grad_chunked{ch}", grad_chunked,
             lambda g: np.asarray(g[0].ravel()[0]))
 
+    # --- single-chunk ablations: where does the backward's time go? ------
+    # One 259200-ray chunk (1/8 of the frame) is small enough to compile
+    # in every severed configuration; scale by 8 for the frame cost.
+    from ray_tracer_tpu.renderer import _blocked_order
+
+    order_np, _ = _blocked_order(params.width, params.height)
+    Rc = R // 8
+    ids_c = jnp.asarray(order_np[:Rc].astype(np.int32))
+    tgt_c = target.reshape(R, 3)[jnp.asarray(order_np.astype(np.int32))][:Rc]
+
+    def chunk_loss_params(p):
+        def loss_fn(fl):
+            it = iter(fl)
+            merged = [next(it) if m else l for l, m in zip(leaves, is_f)]
+            rad = render_pixels(jtu.tree_unflatten(treedef, merged),
+                                basis, p, jnp.int32(0), ids_c)
+            return jnp.sum((rad - tgt_c) ** 2) / jnp.float32(R * 3)
+        return loss_fn
+
+    run("chunk_fwd",
+        jax.jit(lambda: render_pixels(scene, basis, params, jnp.int32(0),
+                                      ids_c)),
+        lambda r: np.asarray(r[0, 0]))
+    run("chunk_grad",
+        jax.jit(lambda: jax.grad(chunk_loss_params(params))(float_leaves)),
+        lambda g: np.asarray(g[0].ravel()[0]))
+    run("chunk_grad_remat",
+        jax.jit(lambda: jax.grad(chunk_loss_params(
+            params.replace(remat=True)))(float_leaves)),
+        lambda g: np.asarray(g[0].ravel()[0]))
+    run("chunk_grad_nocoh",
+        jax.jit(lambda: jax.grad(chunk_loss_params(
+            params.replace(coherent_scatter=False)))(float_leaves)),
+        lambda g: np.asarray(g[0].ravel()[0]))
+
+    # severed scene-cotangent chain at chunk size (memory-feasible here)
+    from ray_tracer_tpu.ops import intersect as _it0
+
+    def _bwd_ns(t_min, res, g):
+        scene_r, o, d, prim_id, miss = res
+        table, vjp_pack = jax.vjp(_it0._pack_attrs, scene_r)
+        (zs,) = vjp_pack(jnp.zeros_like(table))
+        return zs, jnp.zeros_like(o), jnp.zeros_like(d), None
+
+    import functools as _ft0
+
+    @_ft0.partial(jax.custom_vjp, nondiff_argnums=(3,))
+    def rows_ns0(scene_a, o, d, t_min, alive):
+        return _it0._winner_rows_impl(scene_a, o, d, t_min, alive)
+
+    rows_ns0.defvjp(_it0._winner_rows_fwd, _bwd_ns)
+    _orig0 = _it0._winner_rows
+    _it0._winner_rows = rows_ns0
+    run("chunk_grad_noscene",
+        jax.jit(lambda: jax.grad(chunk_loss_params(params))(float_leaves)),
+        lambda g: np.asarray(g[0].ravel()[0]))
+    _it0._winner_rows = _orig0
+
+    # XLA's own accounting of the chunk grad: flops + HBM bytes tell
+    # whether the backward is compute- or (padded-)bandwidth-bound
+    try:
+        ca = jax.jit(lambda: jax.grad(chunk_loss_params(params))(
+            float_leaves)).lower().compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        print(f"chunk_grad cost_analysis: flops={ca.get('flops', 0):.3e} "
+              f"bytes={ca.get('bytes accessed', 0):.3e}", flush=True)
+    except Exception as e:  # noqa: BLE001 — diagnostics only
+        print(f"cost_analysis unavailable: {e}", flush=True)
+
     # --- full grad with bounce-scan rematerialization (params.remat A/B:
     # saves only per-bounce carries, recomputes the forward bounce in the
     # backward sweep — wins iff residual HBM traffic beats a 2nd pass)
