@@ -52,6 +52,22 @@ sel bench && run bench 3600 python bench.py
 # 6. Streaming-kernel block-lists A/B (VERDICT #5)
 sel blocked && run blocked 1800 python tools/bench_blocked.py
 
+# 2b. Whole-frame extract + supers/cluster A/B (the headline config)
+sel abframe && run abframe 2400 \
+  python tools/ab_frame.py 16 "EXTRACT=sum" "EXTRACT=mxu" \
+  "EXTRACT=sum,SUPERS=16,CLUSTER=32" "EXTRACT=mxu,SUPERS=16,CLUSTER=32"
+
+# 2c. Remaining intersect-only A/B: sup16+cl32 on attrs + bounce-1
+sel abmain2 && run abmain2 1800 \
+  python tools/ab_kernel.py 6 sup16+cl32+attrs sup16+cl32+exmxu+attrs \
+  exmxu+attrs@bounce1c sup16+cl32+exmxu+attrs@bounce1c \
+  sup16+cl32@bounce1c sup24+cl32+exmxu+attrs
+
+# 4b. Single-chunk backward ablations (the fwd+bwd 14x gap)
+sel bwdchunk && run bwdchunk 2400 \
+  env PROF_ONLY=chunk_fwd,chunk_grad,chunk_grad_remat,chunk_grad_nocoh,chunk_grad_noscene \
+  python tools/profile_bwd.py
+
 # 6b. Streaming block-lists OFF (the A/B against the default-on numbers)
 sel blockedab && run blockedab 1200 \
   python tools/bench_blocked.py 4 9 160 8192:nolists
