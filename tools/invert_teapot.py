@@ -117,6 +117,14 @@ def main():
     # clip_by_global_norm tames the occasional huge boundary-sample
     # outlier (a sample landing on a near-tangent silhouette edge) that
     # otherwise kicks Adam's moments off the descent path.
+    #
+    # Two-timescale coupling (measured r3 on-chip): while the offset is
+    # wrong, the albedo chases the misalignment mixture (teapot pixels
+    # matched against sky) AWAY from truth; the offset converged by
+    # ~step 120 but a whole-run cosine had already decayed the albedo lr,
+    # freezing it at error 0.38. The albedo lr therefore stays CONSTANT
+    # until 60% of the run (by when the offset has settled) and only then
+    # cosine-decays.
     opt = optax.multi_transform(
         {"o": optax.chain(
             optax.clip_by_global_norm(10.0),
@@ -124,8 +132,11 @@ def main():
                                                    alpha=0.005))),
          "a": optax.chain(
             optax.clip_by_global_norm(10.0),
-            optax.adam(optax.cosine_decay_schedule(0.03, STEPS,
-                                                   alpha=0.005)))},
+            optax.adam(optax.join_schedules(
+                [optax.constant_schedule(0.03),
+                 optax.cosine_decay_schedule(0.03, STEPS - int(0.6 * STEPS),
+                                             alpha=0.01)],
+                [int(0.6 * STEPS)])))},
         {"o": "o", "a": "a"})
     offset = start_offset
     albedo = jnp.asarray(START_ALBEDO)

@@ -146,6 +146,25 @@ def main():
             params.replace(coherent_scatter=False)))(float_leaves)),
         lambda g: np.asarray(g[0].ravel()[0]))
 
+    # bounce sweep: is the backward's cost per-bounce machinery?
+    for nb in (0, 1, 2):
+        run(f"chunk_grad_b{nb}",
+            jax.jit(lambda nb=nb: jax.grad(chunk_loss_params(
+                params.replace(bounces=nb)))(float_leaves)),
+            lambda g: np.asarray(g[0].ravel()[0]))
+
+    # albedo-only: severs the geometry cotangents through the
+    # hit-attribute barycentric recompute (rows 0:9) and the ray chain
+    def loss_alb(alb):
+        import dataclasses as _dc
+        s2 = _dc.replace(scene, tri_albedo=alb)
+        rad = render_pixels(s2, basis, params, jnp.int32(0), ids_c)
+        return jnp.sum((rad - tgt_c) ** 2) / jnp.float32(R * 3)
+
+    run("chunk_grad_albonly",
+        jax.jit(lambda: jax.grad(loss_alb)(scene.tri_albedo)),
+        lambda g: np.asarray(g.ravel()[0]))
+
     # severed scene-cotangent chain at chunk size (memory-feasible here)
     from ray_tracer_tpu.ops import intersect as _it0
 
