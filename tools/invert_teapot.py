@@ -28,7 +28,7 @@ sys.path.insert(0, "/root/repo")
 import ray_tracer_tpu as rt
 from ray_tracer_tpu.io import load_model
 from ray_tracer_tpu.grad.edges import boundary_gradients
-from ray_tracer_tpu.renderer import render_frame
+from ray_tracer_tpu.renderer import render_aov, render_frame
 from ray_tracer_tpu.utils.retry import retry_transient
 
 STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 200
@@ -75,6 +75,10 @@ def main():
             tri_v2=base["v2"] + offset * valid,
             tri_albedo=alb * valid)
 
+    # target-side coverage mask, constant across the run (true scene)
+    hit_target = jax.block_until_ready(
+        jax.jit(lambda: render_aov(scene, basis, params, "hit"))())
+
     @jax.jit
     def step(opt_state, offset, albedo, frame):
         # Common random numbers: the target is re-rendered with the SAME
@@ -94,19 +98,25 @@ def main():
         # ONE forward, TWO cotangent pulls on the same linearization:
         # - offset descends the plain MSE (it NEEDS the edge residuals —
         #   they carry the silhouette signal);
-        # - albedo descends a 90%-TRIMMED MSE: while the offset is off by
-        #   even 1-2 px, silhouette-edge pixels compare teapot against sky
-        #   and their huge residuals BIAS the albedo toward the mixture
+        # - albedo descends the MSE restricted to pixels where BOTH the
+        #   current render and the target see geometry (primary-ray hit
+        #   AOV overlap, stop-gradiented). While the offset is off by even
+        #   1-2 px, silhouette pixels compare teapot against sky and their
+        #   huge residuals BIAS the albedo toward the sky mixture
         #   (measured r3 on-chip: offset converged to 0.008·extent while
-        #   albedo stalled at error 0.38, sky-bright). Trimming the top
-        #   decile of per-pixel residuals removes exactly those pixels.
+        #   albedo stalled at error 0.38, sky-bright; a 90%-residual trim
+        #   was worse — the teapot covers <10% of the frame, so the trim
+        #   dropped the teapot itself and albedo chased the sky to 1.0).
         img, vjp_fn = jax.vjp(render_only, offset, albedo)
         res = img - target
         loss = jnp.mean(res ** 2)
         g_off, _ = vjp_fn(2.0 * res / res.size)
-        res2 = jnp.sum(res ** 2, axis=-1)
-        w = (res2 <= jnp.percentile(res2, 90.0)).astype(jnp.float32)[..., None]
-        _, g_alb = vjp_fn(2.0 * res * w / (3.0 * jnp.sum(w)))
+        hit_r = render_aov(apply(scene, jax.lax.stop_gradient(offset),
+                                 jax.lax.stop_gradient(albedo)),
+                           basis, params, "hit")
+        w = hit_r * hit_target
+        _, g_alb = vjp_fn(2.0 * res * w / (3.0 * jnp.maximum(jnp.sum(w),
+                                                             1.0)))
         # silhouette term for the offset (interior grads can't see it)
         s = apply(scene, offset, albedo)
         cot = 2.0 * (img - target) / img.size
@@ -165,7 +175,7 @@ def main():
         opt_state, do, da, loss = retry_transient(
             one_step, retries=4, base_delay=15.0, max_delay=240.0)
         offset = offset + do
-        albedo = albedo + da
+        albedo = np.clip(albedo + da, 0.0, 1.0)  # physical range projection
         if i % max(1, STEPS // 10) == 0:
             print(f"step {i:4d} loss {float(loss):.6f} "
                   f"off_err {float(np.linalg.norm(offset))/ext:.4f} "
