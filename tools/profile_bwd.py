@@ -165,6 +165,48 @@ def main():
         jax.jit(lambda: jax.grad(loss_alb)(scene.tri_albedo)),
         lambda g: np.asarray(g.ravel()[0]))
 
+    # op-level isolation at chunk size: which op owns the ~50 ms/bounce?
+    from ray_tracer_tpu.ops.intersect import fused_intersect
+    from ray_tracer_tpu import materials as _mat
+    from ray_tracer_tpu import sampling as _samp
+
+    st_c = _samp.seed_state(ids_c.astype(jnp.uint32), jnp.int32(0))
+    from ray_tracer_tpu.camera import camera_rays as _crays
+    _, o_c, d_c = _crays(basis, ids_c % params.width, ids_c // params.width,
+                         (params.width, params.height), st_c)
+    o_c = jax.block_until_ready(o_c)
+
+    def fi_loss(fl):
+        it = iter(fl)
+        merged = [next(it) if m else l for l, m in zip(leaves, is_f)]
+        s2 = jtu.tree_unflatten(treedef, merged)
+        h = fused_intersect(s2, o_c, d_c, 1e-3,
+                            jnp.ones(o_c.shape[:1], bool))
+        return (jnp.sum(h.albedo) + jnp.sum(h.normal) + jnp.sum(h.point)
+                + jnp.sum(h.emission))
+
+    run("chunk_vjp_intersect",
+        jax.jit(lambda: jax.grad(fi_loss)(float_leaves)),
+        lambda g: np.asarray(g[0].ravel()[0]))
+
+    def fi4_loss(fl):
+        it = iter(fl)
+        merged = [next(it) if m else l for l, m in zip(leaves, is_f)]
+        s2 = jtu.tree_unflatten(treedef, merged)
+
+        def body(c, _):
+            o, acc = c
+            h = fused_intersect(s2, o, d_c, 1e-3,
+                                jnp.ones(o.shape[:1], bool))
+            return (h.point, acc + jnp.sum(h.albedo) + jnp.sum(h.normal)), None
+        (_, acc), _ = jax.lax.scan(body, (o_c, jnp.float32(0.0)), None,
+                                   length=params.bounces + 1)
+        return acc
+
+    run("chunk_vjp_intersect4",
+        jax.jit(lambda: jax.grad(fi4_loss)(float_leaves)),
+        lambda g: np.asarray(g[0].ravel()[0]))
+
     # severed scene-cotangent chain at chunk size (memory-feasible here)
     from ray_tracer_tpu.ops import intersect as _it0
 
