@@ -204,78 +204,103 @@ def _textured_shading(textures, albedo, normal, uv, tex, ntex, tan, bitan,
     return albedo, normal
 
 
+def _safe_normalize_t(v, eps=1e-24):
+    """_safe_normalize for (3, R)-oriented vectors (components on sublanes,
+    rays on lanes)."""
+    sq = jnp.sum(v * v, axis=0, keepdims=True)
+    ok = sq > eps
+    inv = jax.lax.rsqrt(jnp.where(ok, sq, 1.0))
+    return jnp.where(ok, v * inv, v)
+
+
 def hit_attributes_from_rows(scene: Scene, rows, o, d, prim_id, miss, t_min):
     """Differentiable winner recompute from merged-table rows.
 
-    ``rows`` (R, 26|40) are the winners' merged-table rows (_pack_attrs
-    layout) — from the oracle's gather or from the Pallas kernels' in-kernel
-    raw-row extraction, which emit bit-identical values by construction.
-    Both the sphere and triangle recomputes run on every row, reinterpreting
-    the columns per their type, and the per-type results are where-selected
-    by prim_id. Cross-type garbage is fine: every recompute is double-where
-    NaN-safe, and `where` zeroes the unselected branch's cotangents so no
-    gradient flows through a misread column. Miss lanes (all-zero rows on
-    the kernel path, primitive 0's row on the oracle path) get t = 0 and
-    are masked downstream via ``Hit.hit``.
+    ``rows`` (26|40, R) are the winners' merged-table rows (_pack_attrs
+    COLUMNS on the sublane axis, rays on lanes) — the Pallas kernels' native
+    extraction orientation, bit-identical to ``_pack_attrs(scene)[id].T``
+    on hit lanes. The transposed ("SoA") orientation is a measured memory-
+    layout requirement, not a style choice: TPU tiles rank-2 f32 arrays as
+    (8, 128)(sublane, lane), so an (R, 26) buffer pads 26 -> 128 lanes
+    (4.9x waste) and every (R, 1) column slice of it materializes at 1/128
+    lane utilization — the backward pass of this function materializes
+    dozens of such buffers per bounce and measured 40+ ms per 259k-ray
+    chunk on v5e in row-major form. In (C, R) form every slice is
+    lane-dense. The whole recompute therefore runs on (k, R) tiles; only
+    the Hit fields transpose back to the renderer's (R, 3) convention at
+    the end (a handful of small dense copies).
+
+    Both the sphere and triangle recomputes run on every row,
+    reinterpreting the columns per their type, and the per-type results are
+    where-selected by prim_id. Cross-type garbage is fine: every recompute
+    is double-where NaN-safe, and `where` zeroes the unselected branch's
+    cotangents so no gradient flows through a misread column. Miss lanes
+    (all-zero rows on the kernel path, primitive 0's row on the oracle
+    path) get t = 0 and are masked downstream via ``Hit.hit``.
     """
     S = scene.padded_spheres
     is_tri = prim_id >= S
     sp = rows
     tp = rows
+    ot = o.T                                            # (3, R)
+    dt = d.T
 
     # --- sphere recompute (wgsl:106-123) ---------------------------------
     # NaN-safe for autodiff: lanes that actually missed (masked downstream)
     # still run this recompute, and d/dx sqrt(max(x,0)) at x<=0 is inf*0=NaN
     # which `where` masking does NOT stop in the backward pass. The standard
     # double-where makes the untaken branch differentiate a benign constant.
-    c = sp[:, 0:3]
-    r2 = sp[:, 3]                       # radius SQUARED (matches the planes)
-    oc = o - c
-    a = jnp.sum(d * d, axis=-1)
-    b = 2.0 * jnp.sum(oc * d, axis=-1)
-    cc = jnp.sum(oc * oc, axis=-1) - r2
+    c = sp[0:3]
+    r2 = sp[3]                          # radius SQUARED (matches the planes)
+    oc = ot - c
+    a = jnp.sum(dt * dt, axis=0)
+    b = 2.0 * jnp.sum(oc * dt, axis=0)
+    cc = jnp.sum(oc * oc, axis=0) - r2
     disc = b * b - 4.0 * a * cc
     disc_ok = disc > 0.0
     safe_disc = jnp.where(disc_ok, disc, 1.0)
     t_sphere = (-b - jnp.where(disc_ok, jnp.sqrt(safe_disc), 0.0)) / (2.0 * a)
-    p_sphere = o + d * t_sphere[:, None]
-    n_sphere = _safe_normalize(p_sphere - c)
+    p_sphere = ot + dt * t_sphere[None]
+    n_sphere = _safe_normalize_t(p_sphere - c)
 
     # --- triangle recompute (wgsl:125-147) --------------------------------
-    v0, e1, e2 = tp[:, 0:3], tp[:, 3:6], tp[:, 6:9]
-    n0, n1, n2 = tp[:, 9:12], tp[:, 12:15], tp[:, 15:18]
-    ng = jnp.cross(e1, e2)
-    ao = o - v0
-    dao = jnp.cross(ao, d)
-    det = -jnp.sum(d * ng, axis=-1)
+    v0, e1, e2 = tp[0:3], tp[3:6], tp[6:9]
+    n0, n1, n2 = tp[9:12], tp[12:15], tp[15:18]
+    ng = jnp.cross(e1, e2, axis=0)
+    ao = ot - v0
+    dao = jnp.cross(ao, dt, axis=0)
+    det = -jnp.sum(dt * ng, axis=0)
     inv = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
-    t_tri = jnp.sum(ao * ng, axis=-1) * inv
-    u = jnp.sum(e2 * dao, axis=-1) * inv
-    v = -jnp.sum(e1 * dao, axis=-1) * inv
+    t_tri = jnp.sum(ao * ng, axis=0) * inv
+    u = jnp.sum(e2 * dao, axis=0) * inv
+    v = -jnp.sum(e1 * dao, axis=0) * inv
     w = 1.0 - u - v
-    n_blend = n0 * w[:, None] + n1 * u[:, None] + n2 * v[:, None]
-    n_tri = _safe_normalize(n_blend)
+    n_blend = n0 * w[None] + n1 * u[None] + n2 * v[None]
+    n_tri = _safe_normalize_t(n_blend)
 
     # --- UV/texture shading (extension; static no-op when untextured) ----
-    tri_albedo = tp[:, 18:21]
+    tri_albedo = tp[18:21]
     if scene.num_textures:
-        uv = (tp[:, 26:28] * w[:, None] + tp[:, 28:30] * u[:, None]
-              + tp[:, 30:32] * v[:, None])
-        tri_albedo, n_tri = _textured_shading(
-            scene.textures, tri_albedo, n_tri, uv,
-            tp[:, 38].astype(jnp.int32), tp[:, 39].astype(jnp.int32),
-            tp[:, 32:35], tp[:, 35:38],
+        # the texture sampler is gather-bound, not layout-bound — call it
+        # in its native row-major orientation
+        uv = (tp[26:28] * w[None] + tp[28:30] * u[None]
+              + tp[30:32] * v[None]).T
+        tri_albedo_r, n_tri_r = _textured_shading(
+            scene.textures, tri_albedo.T, n_tri.T, uv,
+            tp[38].astype(jnp.int32), tp[39].astype(jnp.int32),
+            tp[32:35].T, tp[35:38].T,
             with_normal_maps=scene.num_normal_maps > 0)
+        tri_albedo, n_tri = tri_albedo_r.T, n_tri_r.T
 
     # --- select ------------------------------------------------------------
-    it = is_tri[:, None]
+    it = is_tri[None]
     t = jnp.where(miss, 0.0, jnp.where(is_tri, t_tri, t_sphere))
-    normal = jnp.where(it, n_tri, n_sphere)
+    normal = jnp.where(it, n_tri, n_sphere).T
     point = o + d * t[:, None]
-    albedo = jnp.where(it, tri_albedo, sp[:, 4:7])
-    emission = jnp.where(it, tp[:, 21:24], sp[:, 7:10])
-    emission_strength = jnp.where(is_tri, tp[:, 24], sp[:, 10])
-    smoothness = jnp.where(is_tri, tp[:, 25], sp[:, 11])
+    albedo = jnp.where(it, tri_albedo, sp[4:7]).T
+    emission = jnp.where(it, tp[21:24], sp[7:10]).T
+    emission_strength = jnp.where(is_tri, tp[24], sp[10])
+    smoothness = jnp.where(is_tri, tp[25], sp[11])
 
     hit = jnp.logical_not(miss)
     return Hit(
@@ -304,7 +329,7 @@ def hit_attributes(scene: Scene, o, d, prim_id, miss, t_min):
     """
     S = scene.padded_spheres
     rows = _pack_attrs(scene)[
-        jnp.clip(prim_id, 0, S + scene.padded_tris - 1)]  # (R, 26|40)
+        jnp.clip(prim_id, 0, S + scene.padded_tris - 1)].T  # (26|40, R)
     return hit_attributes_from_rows(scene, rows, o, d, prim_id, miss, t_min)
 
 
@@ -315,9 +340,9 @@ def hit_attributes(scene: Scene, o, d, prim_id, miss, t_min):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _winner_rows(scene, o, d, t_min, alive):
     """Closest-hit search with the winners' merged-table rows extracted
-    INSIDE the Pallas kernel → (rows (R, 26|40), prim_id, miss).
+    INSIDE the Pallas kernel → (rows (26|40, R), prim_id, miss).
 
-    Semantically ``rows == _pack_attrs(scene)[prim_id]`` (bit-identical:
+    Semantically ``rows == _pack_attrs(scene)[prim_id].T`` (bit-identical:
     the kernels' plane arrays store the very same precomputed columns), so
     this op's Jacobian w.r.t. scene is the gather's — its custom VJP is the
     hand-written transpose: ONE scatter-add of the row cotangents into the
@@ -349,8 +374,11 @@ def _winner_rows_bwd(t_min, res, g):
     scene, o, d, prim_id, miss = res
     # miss lanes' kernel rows are zero, not primitive 0's row — their
     # cotangents must not scatter into primitive 0 (they are masked
-    # downstream anyway, but the VJP must match the forward it claims)
-    g_rows = jnp.where(miss[:, None], 0.0, g[0])
+    # downstream anyway, but the VJP must match the forward it claims).
+    # g[0] arrives in the (26|40, R) SoA orientation; the scatter engines
+    # take ray-major rows, so ONE transpose here (the only row-major
+    # materialization left on the whole backward path).
+    g_rows = jnp.where(miss[None, :], 0.0, g[0]).T
     table, vjp_pack = jax.vjp(_pack_attrs, scene)
     from .pallas_intersect import env_config, scatter_rows_pallas, \
         _use_blocked

@@ -928,8 +928,12 @@ def _nearest_hit_call(scene: Scene, o, d, t_min, alive, want_attrs,
     if want_attrs:
         t_out, id_out, attr_out = outs
         # slice off the sublane-tile padding rows (AR -> merged-table width)
+        # NATIVE orientation: (merged-width, R) — columns on sublanes,
+        # rays on lanes. Transposing to (R, 26|40) here would materialize
+        # a 26->128 lane-padded buffer (4.9x HBM waste) per call; the
+        # consumer (hit_attributes_from_rows) computes in SoA.
         return (t_out[0, :R], id_out[0, :R],
-                attr_out[:merged_width(textured), :R].T)
+                attr_out[:merged_width(textured), :R])
     t_out, id_out = outs
     return t_out[0, :R], id_out[0, :R]
 
@@ -1401,8 +1405,12 @@ def _nearest_hit_blocked_call(scene: Scene, o, d, t_min, alive, want_attrs,
     if want_attrs:
         t_out, id_out, attr_out = outs
         # slice off the sublane-tile padding rows (AR -> merged-table width)
+        # NATIVE orientation: (merged-width, R) — columns on sublanes,
+        # rays on lanes. Transposing to (R, 26|40) here would materialize
+        # a 26->128 lane-padded buffer (4.9x HBM waste) per call; the
+        # consumer (hit_attributes_from_rows) computes in SoA.
         return (t_out[0, :R], id_out[0, :R],
-                attr_out[:merged_width(textured), :R].T)
+                attr_out[:merged_width(textured), :R])
     t_out, id_out = outs
     return t_out[0, :R], id_out[0, :R]
 
@@ -1829,9 +1837,9 @@ def nearest_hit_pallas(scene: Scene, o, d, t_min=1e-4, alive=None,
 def nearest_hit_attrs_pallas(scene: Scene, o, d, t_min=1e-4, alive=None,
                              interpret=False, cfg: KConfig | None = None):
     """Closest hit PLUS the winner's merged-table row extracted in-kernel:
-    returns (t (R,), prim_id (R,), rows (R, 26|40)) where rows follow
+    returns (t (R,), prim_id (R,), rows (26|40, R)) where rows follow
     intersect._pack_attrs column for column — bit-identical to
-    ``_pack_attrs(scene)[prim_id]`` on hit lanes (the plane arrays store
+    ``_pack_attrs(scene)[prim_id].T`` on hit lanes (the plane arrays store
     the same precomputed columns), all-zero on miss lanes. Replaces the
     XLA winner-gather (hit_attributes) on the forward path; the
     differentiable recompute runs outside (hit_attributes_from_rows), and

@@ -103,8 +103,8 @@ def test_blocked_attrs_winner_replacement():
     # row contract is per-id, so compare where the ids agree (≈ all lanes)
     same = hitm & (np.asarray(pid) == np.asarray(id_ref))
     assert same.sum() > 30
-    np.testing.assert_array_equal(np.asarray(rows)[same], want[same])
-    np.testing.assert_array_equal(np.asarray(rows)[~hitm], 0.0)
+    np.testing.assert_array_equal(np.asarray(rows).T[same], want[same])
+    np.testing.assert_array_equal(np.asarray(rows).T[~hitm], 0.0)
 
 
 def test_blocked_alive_mask_and_padding():
@@ -257,4 +257,4 @@ def test_blocked_mxu_extract_matches_oracle():
         hit = np.isfinite(np.asarray(t_ref))
         same = hit & (np.asarray(id_blk) == np.asarray(id_ref))
         want = np.asarray(_pack_attrs(scene))[np.asarray(id_ref)[same]]
-        np.testing.assert_array_equal(np.asarray(rows)[same], want)
+        np.testing.assert_array_equal(np.asarray(rows).T[same], want)

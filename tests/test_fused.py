@@ -173,12 +173,12 @@ def test_winner_rows_vjp_is_gather_transpose():
     rows, pid, miss = _winner_rows(scene, o, d, 1e-4, None)
     rng = np.random.default_rng(9)
     g_rows = jnp.asarray(rng.normal(size=rows.shape), jnp.float32)
-    g_rows = jnp.where(miss[:, None], 0.0, g_rows)
+    g_rows = jnp.where(miss[None, :], 0.0, g_rows)   # rows are (26|40, R)
 
     _, vjp = jax.vjp(lambda sc: _winner_rows(sc, o, d, 1e-4, None)[0], scene)
     (gs,) = vjp(g_rows)
     _, vjp_ref = jax.vjp(lambda sc: _pack_attrs(sc)[pid], scene)
-    (gs_ref,) = vjp_ref(g_rows)
+    (gs_ref,) = vjp_ref(g_rows.T)
 
     got = jax.tree_util.tree_leaves(gs)
     want = jax.tree_util.tree_leaves(gs_ref)

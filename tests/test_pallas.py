@@ -193,7 +193,7 @@ def _check_cfg(scene, o, d, cfg, t_min=1e-4):
     # winner rows bit-identical to the oracle's gather on agreeing lanes
     same = hit_ref & (id_pal == id_ref)
     want = np.asarray(_pack_attrs(scene))[id_ref[same]]
-    np.testing.assert_array_equal(np.asarray(rows)[same], want)
+    np.testing.assert_array_equal(np.asarray(rows).T[same], want)
 
 
 def test_supers_two_level_prepass_parity():
