@@ -81,30 +81,39 @@ def chunked_mse_value_and_grad(trainable, render_pixels_fn, params,
 
     W, H = params.width, params.height
     R = W * H
-    if R % chunks:
-        raise ValueError(f"chunks={chunks} must divide W*H={R}")
     order_np, _ = _blocked_order(W, H)
-    order = jnp.asarray(order_np.astype(np.int32))
-    n = R // chunks
-    tgt = target.reshape(R, 3)[order].reshape(chunks, n, 3)
+    # Chunk counts that don't divide W*H pad the tail with duplicates of
+    # the last pixel id, zero-weighted in the loss (they render but
+    # contribute nothing to loss or gradient) — ADVICE r3: raising at
+    # trace time broke e.g. 100x100 with the default 8 chunks.
+    n = -(-R // chunks)
+    pad = chunks * n - R
+    order_pad = np.concatenate(
+        [order_np, np.full(pad, order_np[-1], order_np.dtype)])
+    w_pad = np.concatenate(
+        [np.ones(R, np.float32), np.zeros(pad, np.float32)])
+    order = jnp.asarray(order_pad.astype(np.int32))
     ids = order.reshape(chunks, n)
+    wts = jnp.asarray(w_pad).reshape(chunks, n, 1)
+    tgt = target.reshape(R, 3)[order].reshape(chunks, n, 3)
     denom = jnp.float32(R * 3)
 
-    def chunk_loss(tr, ids_c, tgt_c):
+    def chunk_loss(tr, ids_c, tgt_c, w_c):
         rad = render_pixels_fn(tr, ids_c)
-        return jnp.sum((rad - tgt_c) ** 2) / denom
+        return jnp.sum(w_c * (rad - tgt_c) ** 2) / denom
 
     zeros = jax.tree_util.tree_map(jnp.zeros_like, trainable)
 
     def body(carry, xs):
         loss_acc, grad_acc = carry
-        ids_c, tgt_c = xs
-        loss_c, g = jax.value_and_grad(chunk_loss)(trainable, ids_c, tgt_c)
+        ids_c, tgt_c, w_c = xs
+        loss_c, g = jax.value_and_grad(chunk_loss)(trainable, ids_c, tgt_c,
+                                                   w_c)
         return (loss_acc + loss_c,
                 jax.tree_util.tree_map(jnp.add, grad_acc, g)), None
 
     (loss, grads), _ = jax.lax.scan(body, (jnp.float32(0.0), zeros),
-                                    (ids, tgt))
+                                    (ids, tgt, wts))
     return loss, grads
 
 

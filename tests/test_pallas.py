@@ -4,6 +4,8 @@ On the CPU test harness the kernel runs in interpreter mode (same program,
 no Mosaic compile); on TPU (RTT_TEST_PLATFORM=tpu) it runs compiled.
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -294,3 +296,16 @@ def test_anyhit_engines_match_oracle():
         got = np.asarray(anyhit_pallas(scene, o, d, interpret=INTERPRET,
                                        cfg=cfg))
         np.testing.assert_array_equal(got, want)
+
+
+def test_env_config_matches_defaults(monkeypatch):
+    """The production path (env_config, no RTT_* overrides) must get the
+    measured-best KConfig defaults — one source of truth (VERDICT r3:
+    env_config's hardcoded "sum" fallback silently overrode the tuned
+    extract="mxu" default on every production call)."""
+    from ray_tracer_tpu.ops.pallas_intersect import KConfig, env_config
+
+    for k in list(os.environ):
+        if k.startswith("RTT_"):
+            monkeypatch.delenv(k)
+    assert env_config() == KConfig()

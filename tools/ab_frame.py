@@ -40,13 +40,18 @@ def main():
     log(f"workload {params.width}x{params.height} frames={FRAMES}")
 
     for spec in SPECS:
-        keys = []
+        # Save prior values so finally can RESTORE them (a repeated knob
+        # in one spec, or a pre-existing RTT_* var, must not corrupt the
+        # env for later specs — ADVICE r3).
+        saved = {}
         for part in spec.split(","):
             if not part:
                 continue
             k, _, v = part.partition("=")
-            os.environ["RTT_" + k] = v
-            keys.append("RTT_" + k)
+            k = "RTT_" + k
+            if k not in saved:
+                saved[k] = os.environ.get(k)
+            os.environ[k] = v
         try:
             t0 = time.time()
             img = np.asarray(render_progressive(scene, basis, params,
@@ -63,8 +68,11 @@ def main():
         except Exception as e:  # noqa: BLE001
             log(f"FAILED {spec}: {type(e).__name__}: {str(e)[:200]}")
         finally:
-            for k in keys:
-                del os.environ[k]
+            for k, old in saved.items():
+                if old is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = old
             # env_config() is read at TRACE time: an unchanged jit cache
             # would silently reuse the previous spec's executable
             import jax

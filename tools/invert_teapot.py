@@ -73,8 +73,9 @@ def main():
     # through WHICH surface point each pixel sees, so the offset signal is
     # weak relative to 1-rpp Monte-Carlo noise — measured r3: 80 steps at
     # 128^2/rpp1 stall at off_err ~0.06-0.07 and 240 steps at 64^2/rpp1
-    # DIVERGE (0.148 -> 0.19). Averaging 2 rays/pixel + 192^2 + 8192 edge
-    # samples lifts the gradient SNR enough to converge.
+    # DIVERGE (0.148 -> 0.19). Averaging 2 rays/pixel + 192^2 (plus the
+    # noise-free finite-difference offset estimator below) lifts the
+    # gradient SNR enough to converge.
     params = rt.RenderParams(width=SIZE, height=SIZE, bounces=1, skybox=True,
                              rays_per_pixel=2)
 
@@ -168,9 +169,10 @@ def main():
     # Adam's g/sqrt(v) ratio stays O(1) as gradients shrink, so constant
     # lr random-walks at step-size amplitude forever (measured: converged
     # by ~step 120, then wandered off).
-    # clip_by_global_norm tames the occasional huge boundary-sample
-    # outlier (a sample landing on a near-tangent silhouette edge) that
-    # otherwise kicks Adam's moments off the descent path.
+    # clip_by_global_norm tames occasional outlier steps (e.g. a coarse
+    # fd_h probe straddling a silhouette makes the FD offset gradient
+    # jump); with the finite-difference offset estimator it is mostly a
+    # safety rail rather than a necessity.
     #
     # Two-timescale coupling (measured r3 on-chip, three failure modes):
     # (1) joint descent with a whole-run albedo cosine — offset converges

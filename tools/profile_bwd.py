@@ -225,10 +225,15 @@ def main():
     rows_ns0.defvjp(_it0._winner_rows_fwd, _bwd_ns)
     _orig0 = _it0._winner_rows
     _it0._winner_rows = rows_ns0
-    run("chunk_grad_noscene",
-        jax.jit(lambda: jax.grad(chunk_loss_params(params))(float_leaves)),
-        lambda g: np.asarray(g[0].ravel()[0]))
-    _it0._winner_rows = _orig0
+    try:
+        run("chunk_grad_noscene",
+            jax.jit(lambda: jax.grad(chunk_loss_params(params))(
+                float_leaves)),
+            lambda g: np.asarray(g[0].ravel()[0]))
+    finally:
+        # always restore — a KeyboardInterrupt/SystemExit mid-run must not
+        # leave later sections running with the severed-VJP stub
+        _it0._winner_rows = _orig0
 
     # XLA's own accounting of the chunk grad: flops + HBM bytes tell
     # whether the backward is compute- or (padded-)bandwidth-bound
