@@ -105,14 +105,16 @@ def _fwd_throughput(scene, basis, params, frames):
     img = np.asarray(render_progressive(scene, basis, params, frames))
     compile_s = time.time() - t0
     assert np.isfinite(img).all()
-    dt = float("inf")
-    for _ in range(2):
+    trials = int(os.environ.get("BENCH_TRIALS", "3"))
+    runs = []
+    for _ in range(trials):
         t0 = time.time()
         np.asarray(render_progressive(scene, basis, params, frames))
-        dt = min(dt, time.time() - t0)
+        runs.append(time.time() - t0)
+    dt = min(runs)
     segs = (params.width * params.height * params.rays_per_pixel
             * (params.bounces + 1) * frames)
-    return segs / dt, dt, compile_s
+    return segs / dt, dt, compile_s, runs
 
 
 # ---------------------------------------------------------------------------
@@ -133,11 +135,16 @@ def section_fwd(ctx):
     import jax
     scene, basis, params = _ctx_workload(ctx)
     frames = int(os.environ.get("BENCH_FRAMES", "2" if SMOKE else "32"))
-    rays_per_s, dt, compile_s = _fwd_throughput(scene, basis, params, frames)
+    rays_per_s, dt, compile_s, runs = _fwd_throughput(scene, basis, params,
+                                                      frames)
+    spread = (max(runs) - min(runs)) / min(runs) if runs else 0.0
     print(f"# fwd {dt:.3f}s/{frames}f = {rays_per_s/1e6:.1f} M segs/s "
-          f"(compile {compile_s:.1f}s)", file=sys.stderr)
+          f"(compile {compile_s:.1f}s, spread {spread*100:.1f}% over "
+          f"{len(runs)} runs)", file=sys.stderr)
     return {
         "rays_per_s": round(rays_per_s, 1),
+        "runs_s": [round(r, 3) for r in runs],
+        "spread": round(spread, 4),
         "seconds": round(dt, 3), "frames": frames,
         "fps": round(frames / dt, 3), "compile_s": round(compile_s, 1),
         "resolution": f"{params.width}x{params.height}",
@@ -171,11 +178,13 @@ def section_fwd_bwd(ctx):
             for l in leaves]
     float_leaves = [l for l, m in zip(leaves, is_f) if m]
 
-    # pixel-chunked gradient accumulation: a whole-frame 1080p backward
-    # wants ~32 GB of HBM (lane-padded (R,·) residuals — see
-    # chunked_mse_value_and_grad); 8 chunks bound it to ~4 GB with
-    # identical gradients
-    chunks = int(os.environ.get("BENCH_GRAD_CHUNKS", "1" if SMOKE else "8"))
+    # Whole-frame is the default since r4: the component-wise winner
+    # recompute + SoA scatter VJP removed the lane-padded (R,·)/(R,26)
+    # residual materializations that used to demand ~32 GB — the 1080p
+    # whole-frame backward now runs in ~254 ms on v5e (vs 1.61 s/step for
+    # the r3 8-chunk workaround). Chunking (BENCH_GRAD_CHUNKS>1) remains
+    # for bigger frames/scenes.
+    chunks = int(os.environ.get("BENCH_GRAD_CHUNKS", "1"))
 
     def merge(fl):
         it = iter(fl)
@@ -307,7 +316,8 @@ def section_textured(ctx):
     scene, cam, params = build_workload(use_textures=True)
     basis = camera_basis(cam.replace(aspect=params.aspect))
     frames = int(os.environ.get("BENCH_FRAMES_TEX", "2" if SMOKE else "16"))
-    rays_per_s, dt, compile_s = _fwd_throughput(scene, basis, params, frames)
+    rays_per_s, dt, compile_s, _ = _fwd_throughput(scene, basis, params,
+                                                   frames)
     print(f"# textured fwd {dt:.3f}s/{frames}f = {rays_per_s/1e6:.1f} "
           f"M segs/s (compile {compile_s:.1f}s)", file=sys.stderr)
     return {"rays_per_s": round(rays_per_s, 1), "seconds": round(dt, 3),

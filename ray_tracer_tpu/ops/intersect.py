@@ -204,13 +204,18 @@ def _textured_shading(textures, albedo, normal, uv, tex, ntex, tan, bitan,
     return albedo, normal
 
 
-def _safe_normalize_t(v, eps=1e-24):
-    """_safe_normalize for (3, R)-oriented vectors (components on sublanes,
-    rays on lanes)."""
-    sq = jnp.sum(v * v, axis=0, keepdims=True)
+def _norm3(x, y, z, eps=1e-24):
+    """Safe normalize on (R,) components: same math (and fp association)
+    as the old (3, R) _safe_normalize_t, expressed component-wise."""
+    sq = (x * x + y * y) + z * z
     ok = sq > eps
     inv = jax.lax.rsqrt(jnp.where(ok, sq, 1.0))
-    return jnp.where(ok, v * inv, v)
+    return (jnp.where(ok, x * inv, x), jnp.where(ok, y * inv, y),
+            jnp.where(ok, z * inv, z))
+
+
+def _cross3(ax, ay, az, bx, by, bz):
+    return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
 
 
 def hit_attributes_from_rows(scene: Scene, rows, o, d, prim_id, miss, t_min):
@@ -219,16 +224,21 @@ def hit_attributes_from_rows(scene: Scene, rows, o, d, prim_id, miss, t_min):
     ``rows`` (26|40, R) are the winners' merged-table rows (_pack_attrs
     COLUMNS on the sublane axis, rays on lanes) — the Pallas kernels' native
     extraction orientation, bit-identical to ``_pack_attrs(scene)[id].T``
-    on hit lanes. The transposed ("SoA") orientation is a measured memory-
-    layout requirement, not a style choice: TPU tiles rank-2 f32 arrays as
-    (8, 128)(sublane, lane), so an (R, 26) buffer pads 26 -> 128 lanes
-    (4.9x waste) and every (R, 1) column slice of it materializes at 1/128
-    lane utilization — the backward pass of this function materializes
-    dozens of such buffers per bounce and measured 40+ ms per 259k-ray
-    chunk on v5e in row-major form. In (C, R) form every slice is
-    lane-dense. The whole recompute therefore runs on (k, R) tiles; only
-    the Hit fields transpose back to the renderer's (R, 3) convention at
-    the end (a handful of small dense copies).
+    on hit lanes.
+
+    The recompute runs on rank-1 (R,) COMPONENTS, not (3, R) or (R, 3)
+    tiles — a measured layout requirement, not style (r4 profile): rank-2
+    (3, R) intermediates let XLA's layout assignment put the 3-vector on
+    the 128-lane axis ({0,1:T(8,128)} — 132 MB of padding per 259k-ray
+    buffer instead of 8 MB), which it DID throughout the backward pass of
+    the old (3, R) formulation (transpose-as-bitcast chains from the .T
+    boundary propagated the flipped layout): ~40 materializations at
+    ~0.38 ms each made one intersect VJP cost 32 ms against a 4 ms
+    forward. Rank-1 arrays have exactly one TPU layout, so neither the
+    forward nor the cotangent program can materialize a lane-padded
+    orientation; the Hit fields stack back to the renderer's (R, 3)
+    convention only at the end. Component math preserves the old fp
+    association exactly (bit-identical images, test-pinned).
 
     Both the sphere and triangle recomputes run on every row,
     reinterpreting the columns per their type, and the per-type results are
@@ -240,67 +250,80 @@ def hit_attributes_from_rows(scene: Scene, rows, o, d, prim_id, miss, t_min):
     """
     S = scene.padded_spheres
     is_tri = prim_id >= S
-    sp = rows
-    tp = rows
-    ot = o.T                                            # (3, R)
-    dt = d.T
+    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
 
     # --- sphere recompute (wgsl:106-123) ---------------------------------
     # NaN-safe for autodiff: lanes that actually missed (masked downstream)
     # still run this recompute, and d/dx sqrt(max(x,0)) at x<=0 is inf*0=NaN
     # which `where` masking does NOT stop in the backward pass. The standard
     # double-where makes the untaken branch differentiate a benign constant.
-    c = sp[0:3]
-    r2 = sp[3]                          # radius SQUARED (matches the planes)
-    oc = ot - c
-    a = jnp.sum(dt * dt, axis=0)
-    b = 2.0 * jnp.sum(oc * dt, axis=0)
-    cc = jnp.sum(oc * oc, axis=0) - r2
+    cx, cy, cz = rows[0], rows[1], rows[2]
+    r2 = rows[3]                        # radius SQUARED (matches the planes)
+    ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+    a = (dx * dx + dy * dy) + dz * dz
+    b = 2.0 * ((ocx * dx + ocy * dy) + ocz * dz)
+    cc = ((ocx * ocx + ocy * ocy) + ocz * ocz) - r2
     disc = b * b - 4.0 * a * cc
     disc_ok = disc > 0.0
     safe_disc = jnp.where(disc_ok, disc, 1.0)
     t_sphere = (-b - jnp.where(disc_ok, jnp.sqrt(safe_disc), 0.0)) / (2.0 * a)
-    p_sphere = ot + dt * t_sphere[None]
-    n_sphere = _safe_normalize_t(p_sphere - c)
+    psx = ox + dx * t_sphere
+    psy = oy + dy * t_sphere
+    psz = oz + dz * t_sphere
+    nsx, nsy, nsz = _norm3(psx - cx, psy - cy, psz - cz)
 
     # --- triangle recompute (wgsl:125-147) --------------------------------
-    v0, e1, e2 = tp[0:3], tp[3:6], tp[6:9]
-    n0, n1, n2 = tp[9:12], tp[12:15], tp[15:18]
-    ng = jnp.cross(e1, e2, axis=0)
-    ao = ot - v0
-    dao = jnp.cross(ao, dt, axis=0)
-    det = -jnp.sum(dt * ng, axis=0)
+    v0x, v0y, v0z = rows[0], rows[1], rows[2]
+    e1x, e1y, e1z = rows[3], rows[4], rows[5]
+    e2x, e2y, e2z = rows[6], rows[7], rows[8]
+    ngx, ngy, ngz = _cross3(e1x, e1y, e1z, e2x, e2y, e2z)
+    aox, aoy, aoz = ox - v0x, oy - v0y, oz - v0z
+    dax, day, daz = _cross3(aox, aoy, aoz, dx, dy, dz)
+    det = -((dx * ngx + dy * ngy) + dz * ngz)
     inv = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
-    t_tri = jnp.sum(ao * ng, axis=0) * inv
-    u = jnp.sum(e2 * dao, axis=0) * inv
-    v = -jnp.sum(e1 * dao, axis=0) * inv
+    t_tri = ((aox * ngx + aoy * ngy) + aoz * ngz) * inv
+    u = ((e2x * dax + e2y * day) + e2z * daz) * inv
+    v = -((e1x * dax + e1y * day) + e1z * daz) * inv
     w = 1.0 - u - v
-    n_blend = n0 * w[None] + n1 * u[None] + n2 * v[None]
-    n_tri = _safe_normalize_t(n_blend)
+    nbx = rows[9] * w + rows[12] * u + rows[15] * v
+    nby = rows[10] * w + rows[13] * u + rows[16] * v
+    nbz = rows[11] * w + rows[14] * u + rows[17] * v
+    ntx, nty, ntz = _norm3(nbx, nby, nbz)
 
     # --- UV/texture shading (extension; static no-op when untextured) ----
-    tri_albedo = tp[18:21]
+    tax, tay, taz = rows[18], rows[19], rows[20]
     if scene.num_textures:
         # the texture sampler is gather-bound, not layout-bound — call it
         # in its native row-major orientation
-        uv = (tp[26:28] * w[None] + tp[28:30] * u[None]
-              + tp[30:32] * v[None]).T
+        uv = jnp.stack([rows[26] * w + rows[28] * u + rows[30] * v,
+                        rows[27] * w + rows[29] * u + rows[31] * v],
+                       axis=-1)
         tri_albedo_r, n_tri_r = _textured_shading(
-            scene.textures, tri_albedo.T, n_tri.T, uv,
-            tp[38].astype(jnp.int32), tp[39].astype(jnp.int32),
-            tp[32:35].T, tp[35:38].T,
+            scene.textures,
+            jnp.stack([tax, tay, taz], axis=-1),
+            jnp.stack([ntx, nty, ntz], axis=-1), uv,
+            rows[38].astype(jnp.int32), rows[39].astype(jnp.int32),
+            rows[32:35].T, rows[35:38].T,
             with_normal_maps=scene.num_normal_maps > 0)
-        tri_albedo, n_tri = tri_albedo_r.T, n_tri_r.T
+        tax, tay, taz = (tri_albedo_r[:, 0], tri_albedo_r[:, 1],
+                         tri_albedo_r[:, 2])
+        ntx, nty, ntz = n_tri_r[:, 0], n_tri_r[:, 1], n_tri_r[:, 2]
 
     # --- select ------------------------------------------------------------
-    it = is_tri[None]
     t = jnp.where(miss, 0.0, jnp.where(is_tri, t_tri, t_sphere))
-    normal = jnp.where(it, n_tri, n_sphere).T
+    normal = jnp.stack([jnp.where(is_tri, ntx, nsx),
+                        jnp.where(is_tri, nty, nsy),
+                        jnp.where(is_tri, ntz, nsz)], axis=-1)
     point = o + d * t[:, None]
-    albedo = jnp.where(it, tri_albedo, sp[4:7]).T
-    emission = jnp.where(it, tp[21:24], sp[7:10]).T
-    emission_strength = jnp.where(is_tri, tp[24], sp[10])
-    smoothness = jnp.where(is_tri, tp[25], sp[11])
+    albedo = jnp.stack([jnp.where(is_tri, tax, rows[4]),
+                        jnp.where(is_tri, tay, rows[5]),
+                        jnp.where(is_tri, taz, rows[6])], axis=-1)
+    emission = jnp.stack([jnp.where(is_tri, rows[21], rows[7]),
+                          jnp.where(is_tri, rows[22], rows[8]),
+                          jnp.where(is_tri, rows[23], rows[9])], axis=-1)
+    emission_strength = jnp.where(is_tri, rows[24], rows[10])
+    smoothness = jnp.where(is_tri, rows[25], rows[11])
 
     hit = jnp.logical_not(miss)
     return Hit(
@@ -375,22 +398,23 @@ def _winner_rows_bwd(t_min, res, g):
     # miss lanes' kernel rows are zero, not primitive 0's row — their
     # cotangents must not scatter into primitive 0 (they are masked
     # downstream anyway, but the VJP must match the forward it claims).
-    # g[0] arrives in the (26|40, R) SoA orientation; the scatter engines
-    # take ray-major rows, so ONE transpose here (the only row-major
-    # materialization left on the whole backward path).
-    g_rows = jnp.where(miss[None, :], 0.0, g[0]).T
+    # g[0] arrives in the (26|40, R) SoA orientation and is consumed in
+    # that orientation: the SoA scatter kernel contracts on the lane axis,
+    # so NO row-major (R, 26) transpose ever materializes (r4 profile:
+    # those lane-padded transposed buffers dominated the whole backward).
+    g_soa = jnp.where(miss[None, :], 0.0, g[0])
     table, vjp_pack = jax.vjp(_pack_attrs, scene)
-    from .pallas_intersect import env_config, scatter_rows_pallas, \
+    from .pallas_intersect import env_config, scatter_rows_soa_pallas, \
         _use_blocked
     if _use_blocked(scene, env_config()):
         # streaming-size scene: the VMEM-resident scatter table won't fit
-        g_table = jnp.zeros_like(table).at[prim_id].add(g_rows)
+        g_table = jnp.zeros_like(table).at[prim_id].add(g_soa.T)
     else:
         # MXU one-hot scatter (~4x the XLA scatter's row rate); miss lanes
         # route to the out-of-range id and are dropped in-kernel
         n_rows = table.shape[0]
         ids = jnp.where(miss, n_rows, prim_id)
-        g_table = scatter_rows_pallas(ids, g_rows, n_rows)
+        g_table = scatter_rows_soa_pallas(ids, g_soa, n_rows)
     (gs,) = vjp_pack(g_table)
     return gs, jnp.zeros_like(o), jnp.zeros_like(d), None
 

@@ -1535,6 +1535,108 @@ def scatter_rows_pallas(prim_id, g_rows, n_rows: int, interpret=False,
                               _auto_interpret(interpret), cfg or env_config())
 
 
+def _make_scatter_soa_kernel(Pp: int, WO: int, cfg: KConfig):
+    """Body for scatter_rows_soa_pallas: like _make_scatter_kernel but the
+    cotangent block arrives in SoA orientation (WO, step) — rows/columns on
+    sublanes, RAYS ON LANES, the exact layout the winner-row VJP's upstream
+    autodiff produces (26|40, R). The one-hot update contracts both
+    operands on their LANE axis: dot_general(m(csize, RT), g(WO, RT),
+    contracting (1,)x(1,)) -> (csize, WO). Removes the XLA-side
+    (26, R) -> (R, 26) transpose whose lane-padded materializations
+    dominated the backward (r4 profile: the transposed row-major buffers
+    cost more than every kernel in the VJP combined)."""
+    RT = cfg.rt
+    csize = 128
+    n_chunks = Pp // csize
+
+    def kernel(ids_ref, g_ref, out_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[:, :] = jnp.zeros((Pp, WO), jnp.float32)
+
+        def one_tile(L):
+            lanes = pl.ds(pl.multiple_of(L, RT), RT)
+            ids_v = ids_ref[0:1, lanes]                      # (1, RT)
+            g_blk = g_ref[:, lanes]                          # (WO, RT)
+            valid = (ids_v >= 0) & (ids_v < Pp)
+
+            def chunk(c, carry):
+                base = c * csize
+                in_chunk = (ids_v >= base) & (ids_v < base + csize)
+
+                @pl.when(jnp.any(in_chunk))
+                def _():
+                    ids2 = (jax.lax.broadcasted_iota(
+                        jnp.int32, (csize, RT), 0) + base)
+                    m = (ids2 == ids_v).astype(jnp.float32)  # (csize, RT)
+                    upd = jax.lax.dot_general(
+                        m, g_blk, (((1,), (1,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)  # (csize, WO)
+                    out_ref[pl.ds(base, csize), :] += upd
+                return carry
+
+            c_lo = jnp.min(jnp.where(valid, ids_v, Pp)) // csize
+            c_hi = jnp.max(jnp.where(valid, ids_v, 0)) // csize
+
+            @pl.when(jnp.any(valid))
+            def _():
+                jax.lax.fori_loop(c_lo, jnp.minimum(c_hi + 1, n_chunks),
+                                  chunk, 0)
+
+        jax.lax.fori_loop(0, cfg.step_tiles,
+                          lambda jt, c: (one_tile(jt * RT), c)[1], 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "interpret", "cfg"))
+def _scatter_rows_soa_call(ids, g_soa, n_rows, interpret, cfg: KConfig):
+    W, R = g_soa.shape
+    RT = cfg.rt
+    step = RT * cfg.step_tiles
+    n_steps = -(-R // step)
+    Rp = n_steps * step
+    Pp = -(-n_rows // 128) * 128
+    WO = -(-W // 8) * 8
+    ids8 = jnp.pad(ids[None, :], ((0, 7), (0, Rp - R)),
+                   constant_values=Pp)
+    g = jnp.pad(g_soa, ((0, WO - W), (0, Rp - R)))
+
+    out = pl.pallas_call(
+        _make_scatter_soa_kernel(Pp, WO, cfg),
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((8, step), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((WO, step), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Pp, WO), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Pp, WO), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=Rp * 128 * WO * 2,
+            bytes_accessed=Rp * (4 + WO * 4) + Pp * WO * 4,
+            transcendentals=0,
+        ),
+    )(ids8, g)
+    return out[:n_rows, :W]
+
+
+def scatter_rows_soa_pallas(prim_id, g_soa, n_rows: int, interpret=False,
+                            cfg: KConfig | None = None):
+    """MXU scatter-add taking the cotangent in SoA orientation:
+    ``zeros((n_rows, W)).at[prim_id].add(g_soa.T)`` without the host-side
+    transpose (see _make_scatter_soa_kernel). ``g_soa``: (W, R)."""
+    return _scatter_rows_soa_call(prim_id, g_soa, n_rows,
+                                  _auto_interpret(interpret),
+                                  cfg or env_config())
+
+
 def _use_blocked(scene: Scene, cfg: KConfig) -> bool:
     """Streaming path selection: the packed triangle planes cost
     TP × 128 lanes × 4 B of VMEM (lane padding); past the budget the

@@ -309,3 +309,24 @@ def test_env_config_matches_defaults(monkeypatch):
         if k.startswith("RTT_"):
             monkeypatch.delenv(k)
     assert env_config() == KConfig()
+
+
+def test_scatter_rows_soa_matches_xla():
+    """The SoA-orientation MXU scatter (the winner-row VJP's transpose-free
+    path) must equal the XLA scatter-add exactly — one-hot HIGHEST-precision
+    contraction has exactly one nonzero per output sum."""
+    from ray_tracer_tpu.ops.pallas_intersect import (KConfig,
+                                                     scatter_rows_soa_pallas)
+
+    rng = np.random.default_rng(3)
+    R, W, N = 700, 26, 300
+    ids = rng.integers(0, N + 40, size=R).astype(np.int32)  # some dropped
+    g = rng.normal(size=(W, R)).astype(np.float32)
+    want = np.zeros((N, W), np.float32)
+    for i, pid in enumerate(ids):
+        if 0 <= pid < N:
+            want[pid] += g[:, i]
+    got = np.asarray(scatter_rows_soa_pallas(
+        jnp.asarray(ids), jnp.asarray(g), N, interpret=INTERPRET,
+        cfg=KConfig(rt=128, step_tiles=1)))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)

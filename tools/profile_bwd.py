@@ -207,6 +207,171 @@ def main():
         jax.jit(lambda: jax.grad(fi4_loss)(float_leaves)),
         lambda g: np.asarray(g[0].ravel()[0]))
 
+    # --- r4: decompose the single-intersect backward (57.9 ms measured,
+    # vs a ~4-8 ms forward kernel at chunk size) into its parts ----------
+    from ray_tracer_tpu.ops import intersect as _itD
+    from ray_tracer_tpu.ops.pallas_intersect import scatter_rows_pallas \
+        as _scat
+
+    alive_c = jnp.ones(o_c.shape[:1], bool)
+    rows_c, pid_c, miss_c = jax.block_until_ready(jax.jit(
+        lambda: _itD._winner_rows_impl(scene, o_c, d_c, 1e-3, alive_c))())
+    key2 = jax.random.PRNGKey(7)
+    g_rows_c = jax.random.normal(key2, (Rc, rows_c.shape[0]), jnp.float32)
+    ids_sc = jnp.where(miss_c, T + S, pid_c).astype(jnp.int32)
+
+    # (a) the MXU scatter at CHUNK size, 4-bounce scan
+    @jax.jit
+    def scatter_mxu_c():
+        def body(acc, _):
+            return acc + _scat(ids_sc, g_rows_c, T + S), None
+        acc, _ = jax.lax.scan(body, jnp.zeros((T + S, rows_c.shape[0]),
+                                              jnp.float32), None,
+                              length=params.bounces + 1)
+        return acc
+    run("scatter_mxu_c", scatter_mxu_c, lambda a: np.asarray(a.ravel()[0]))
+
+    # (b) the (26, R) -> (R, 26) cotangent transpose materialization
+    run("transpose_c",
+        jax.jit(lambda: (rows_c.T * 1.0000001).sum(axis=1)),
+        lambda a: np.asarray(a.ravel()[0]))
+
+    # (c) rows-only: grad through _winner_rows' custom VJP alone (kernel
+    # fwd + where/transpose + scatter + pack transpose; NO recompute)
+    wconst = jax.random.normal(key2, rows_c.shape, jnp.float32)
+
+    def rows_loss(fl):
+        it3 = iter(fl)
+        merged = [next(it3) if m else l for l, m in zip(leaves, is_f)]
+        s2 = jtu.tree_unflatten(treedef, merged)
+        rows, pid, miss = _itD._winner_rows(s2, o_c, d_c, 1e-3, alive_c)
+        return jnp.sum(rows * wconst)
+
+    run("chunk_rows_grad",
+        jax.jit(lambda: jax.grad(rows_loss)(float_leaves)),
+        lambda g: np.asarray(g[0].ravel()[0]))
+
+    # (d) recompute-only: hit_attributes_from_rows on CONSTANT rows
+    # (isolates the differentiable recompute's fwd+bwd)
+    def rec_loss(fl):
+        it3 = iter(fl)
+        merged = [next(it3) if m else l for l, m in zip(leaves, is_f)]
+        s2 = jtu.tree_unflatten(treedef, merged)
+        h = _itD.hit_attributes_from_rows(s2, rows_c, o_c, d_c, pid_c,
+                                          miss_c, 1e-3)
+        return (jnp.sum(h.albedo) + jnp.sum(h.normal) + jnp.sum(h.point)
+                + jnp.sum(h.emission))
+
+    run("chunk_recompute_grad",
+        jax.jit(lambda: jax.grad(rec_loss)(float_leaves)),
+        lambda g: np.asarray(g[0].ravel()[0]))
+
+    # --- r4: ON-DEVICE rep-scanned pieces ("r_" prefix). The single-launch
+    # timings above carry a ~33 ms relay-sync floor (measured: a trivial
+    # 33 MB transpose "costs" 34.5 ms, same as the whole scatter scan) —
+    # every small piece above is floor-dominated. These run NREP dependent
+    # reps inside ONE jitted lax.scan (each rep depends on the loop index
+    # so XLA cannot hoist it) and report per-rep cost; the floor shrinks
+    # to ~33/NREP ms.
+    NREP = int(os.environ.get("PROF_REPS", "8"))
+
+    def rep_run(name, body_i):
+        """body_i: i (int32) -> f32 scalar; timed as NREP dependent reps
+        inside one program, reported per rep."""
+        if only is not None and name not in only:
+            return
+
+        @jax.jit
+        def prog():
+            out, _ = jax.lax.scan(lambda c, i: (c + body_i(i), None),
+                                  jnp.float32(0.0),
+                                  jnp.arange(NREP, dtype=jnp.int32))
+            return out
+
+        try:
+            t0 = time.time()
+            np.asarray(prog())
+            compile_s = time.time() - t0
+            dt = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                np.asarray(prog())
+                dt = min(dt, time.time() - t0)
+            print(f"{name:22s} {dt/NREP*1e3:8.1f} ms/rep  (x{NREP}, "
+                  f"compile+first {compile_s:.1f}s)", flush=True)
+            return dt / NREP
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:22s} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
+
+    def _merged(fl):
+        it3 = iter(fl)
+        return jtu.tree_unflatten(
+            treedef, [next(it3) if m else l for l, m in zip(leaves, is_f)])
+
+    def _gsum(g):
+        return sum(jnp.sum(l) for l in g)
+
+    rep_run("r_fwd", lambda i: jnp.sum(
+        render_pixels(scene, basis, params, i, ids_c)) * 1e-6)
+
+    def _grad_body(p):
+        def body(i):
+            def loss_fn(fl):
+                rad = render_pixels(_merged(fl), basis, p, i, ids_c)
+                return jnp.sum((rad - tgt_c) ** 2) / jnp.float32(R * 3)
+            return _gsum(jax.grad(loss_fn)(float_leaves))
+        return body
+
+    rep_run("r_grad", _grad_body(params))
+    rep_run("r_grad_remat", _grad_body(params.replace(remat=True)))
+    for nb in (0, 1, 2):
+        rep_run(f"r_grad_b{nb}", _grad_body(params.replace(bounces=nb)))
+
+    def _vjp1_body(i):
+        o_i = o_c + i.astype(jnp.float32) * 1e-12
+
+        def loss_fn(fl):
+            h = _itD.fused_intersect(_merged(fl), o_i, d_c, 1e-3, alive_c)
+            return (jnp.sum(h.albedo) + jnp.sum(h.normal)
+                    + jnp.sum(h.point) + jnp.sum(h.emission))
+        return _gsum(jax.grad(loss_fn)(float_leaves))
+
+    rep_run("r_vjp_intersect", _vjp1_body)
+
+    def _fwd1_body(i):
+        o_i = o_c + i.astype(jnp.float32) * 1e-12
+        h = _itD.fused_intersect(scene, o_i, d_c, 1e-3, alive_c)
+        return (jnp.sum(h.albedo) + jnp.sum(h.normal) + jnp.sum(h.point)
+                + jnp.sum(h.emission))
+
+    rep_run("r_fwd_intersect", _fwd1_body)
+
+    def _rows_body(i):
+        def loss_fn(fl):
+            rows, pid, miss = _itD._winner_rows(_merged(fl), o_c, d_c,
+                                                1e-3, alive_c)
+            return jnp.sum(rows * (wconst + i.astype(jnp.float32) * 1e-12))
+        return _gsum(jax.grad(loss_fn)(float_leaves))
+
+    rep_run("r_rows_grad", _rows_body)
+
+    def _rec_body(i):
+        rows_i = rows_c * (1.0 + i.astype(jnp.float32) * 1e-12)
+
+        def loss_fn(fl):
+            h = _itD.hit_attributes_from_rows(_merged(fl), rows_i, o_c,
+                                              d_c, pid_c, miss_c, 1e-3)
+            return (jnp.sum(h.albedo) + jnp.sum(h.normal)
+                    + jnp.sum(h.point) + jnp.sum(h.emission))
+        return _gsum(jax.grad(loss_fn)(float_leaves))
+
+    rep_run("r_recompute_grad", _rec_body)
+
+    rep_run("r_scatter_mxu", lambda i: jnp.sum(
+        _scat(ids_sc, g_rows_c * (1.0 + i.astype(jnp.float32) * 1e-12),
+              T + S)) * 1e-6)
+
     # severed scene-cotangent chain at chunk size (memory-feasible here)
     from ray_tracer_tpu.ops import intersect as _it0
 
