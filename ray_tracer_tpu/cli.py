@@ -49,6 +49,11 @@ def _add_common(p):
     p.add_argument("--backend", default="auto", choices=["auto", "jnp", "pallas"])
     p.add_argument("--nee", action="store_true",
                    help="next-event estimation (explicit light sampling)")
+    p.add_argument("--no-mis", action="store_true",
+                   help="disable balance-heuristic MIS for the NEE<->BSDF "
+                        "estimator pair (falls back to pure emission "
+                        "suppression; variance cliff on near-mirror "
+                        "surfaces)")
     p.add_argument("--cosine-sampling", action="store_true",
                    help="cosine-weighted Lambertian sampling (extension)")
     p.add_argument("--compaction", action="store_true",
@@ -78,6 +83,7 @@ def _build(args):
         rays_per_pixel=args.rays_per_pixel, skybox=args.skybox,
         accumulate=not args.no_accumulate, backend=args.backend,
         chunk_pixels=args.chunk_pixels, nee=args.nee,
+        mis=not args.no_mis,
         cosine_sampling=args.cosine_sampling, compaction=args.compaction,
         coherent_scatter=args.coherent, clamp=args.clamp, qmc=args.qmc)
     if args.model:

@@ -158,12 +158,16 @@ def trace(scene: Scene, o, d, state, params: RenderParams):
         zero3,                            # incoming light
         all_true,                         # alive
         all_true,                         # emission_ok (NEE double-count guard)
+        zero3[:, 0],                      # prev_pdf: BSDF pdf of the previous
+                                          # scatter direction (MIS weight input;
+                                          # constant-folded away when nee off)
         state,
         slot,
     )
 
     def bounce(carry, seg_index):
-        o, d, throughput, incoming, alive, emission_ok, state, slot = carry
+        (o, d, throughput, incoming, alive, emission_ok, prev_pdf, state,
+         slot) = carry
         if compacting:
             # wavefront compaction: reorder so kernel tiles stay coherent
             # and dead rays collapse into whole tiles the kernel skips
@@ -172,9 +176,10 @@ def trace(scene: Scene, o, d, state, params: RenderParams):
                     _ray_sort_key(aabb_lo, aabb_hi, o, d, alive))
             else:  # "octant": O(R) counting sort, no argsort
                 order = _octant_order(d, alive)
-            o, d, throughput, incoming, alive, emission_ok, state, slot = (
+            (o, d, throughput, incoming, alive, emission_ok, prev_pdf,
+             state, slot) = (
                 x[order] for x in (o, d, throughput, incoming, alive,
-                                   emission_ok, state, slot))
+                                   emission_ok, prev_pdf, state, slot))
         h = intersect(scene, o, d, t_min=params.t_min, backend=params.backend,
                       alive=alive)
         active_hit = alive & h.hit
@@ -200,20 +205,63 @@ def trace(scene: Scene, o, d, state, params: RenderParams):
         albedo = jnp.where(is_dielectric[:, None], 1.0, h.albedo)
 
         emitted = h.emission * h.emission_strength[:, None]
-        if params.nee:
-            # Suppression (emission_ok=False after an NEE attempt) only
-            # applies to emitters the light table can actually sample: the
-            # table holds the top MAX_LIGHTS emitters by power, and a scene
-            # with more would otherwise lose all light from the overflow
-            # emitters (never NEE-sampled, yet BSDF-suppressed).
-            in_table = jnp.any(
-                (h.prim_id[:, None] == light_table.prim_id[None, :])
-                & light_table.entry_valid[None, :], axis=1)
-            count_emission = active_hit & (emission_ok | ~in_table)
+        if params.nee and params.mis:
+            # Balance-heuristic MIS (BSDF side): the previous segment's
+            # NEE attempt competed for this same emitter, so BSDF-found
+            # emission is weighted by p_bsdf/(p_bsdf + p_nee) instead of
+            # being fully suppressed. p_nee is the solid-angle pdf the
+            # light sampler WOULD have had for this exact hit point:
+            # P(light)·d² / (area·cos_l), recomputed from the SAME packed
+            # table geometry sample_lights draws from (exact weight-sum-
+            # to-1 needs both strategies' pdfs in the same measure).
+            # Lanes whose previous segment did NOT attempt NEE
+            # (emission_ok), and emitters NEE cannot reach (not in the
+            # table, back-facing, zero power → p_nee = 0), get weight 1.
+            onehot_hit = ((h.prim_id[:, None] == light_table.prim_id[None, :])
+                          & light_table.entry_valid[None, :]
+                          ).astype(jnp.float32)           # (R, L)
+            row = jnp.matmul(onehot_hit, light_table.packed,
+                             precision="highest")          # (R, 20)
+            p_light, area_l, kind_l = row[:, 0], row[:, 1], row[:, 6]
+            d_unit = d / jnp.maximum(
+                jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+            # emitter geometric normal, exactly as sample_lights builds it
+            ng_l = jnp.cross(row[:, 14:17] - row[:, 11:14],
+                             row[:, 17:20] - row[:, 11:14])
+            n_tri_l = ng_l / jnp.maximum(
+                jnp.linalg.norm(ng_l, axis=-1, keepdims=True), 1e-12)
+            n_sph_l = (h.point - row[:, 7:10]) / jnp.maximum(
+                row[:, 10], 1e-12)[:, None]
+            ln = jnp.where((kind_l > 0.5)[:, None], n_tri_l, n_sph_l)
+            cos_l = jnp.sum(-d_unit * ln, axis=-1)
+            wi_h = h.point - o
+            d2h = jnp.sum(wi_h * wi_h, axis=-1)
+            reachable = (cos_l > 1e-6) & (p_light > 0.0)
+            p_nee_hit = jnp.where(
+                reachable,
+                p_light * d2h / jnp.maximum(area_l * cos_l, 1e-20), 0.0)
+            w_b = jnp.where(emission_ok, 1.0,
+                            prev_pdf / jnp.maximum(prev_pdf + p_nee_hit,
+                                                   1e-20))
+            incoming = incoming + jnp.where(
+                active_hit[:, None], emitted * throughput * w_b[:, None],
+                0.0)
         else:
-            count_emission = active_hit
-        incoming = incoming + jnp.where(
-            count_emission[:, None], emitted * throughput, 0.0)
+            if params.nee:
+                # Pure-suppression estimator (mis=False). Suppression only
+                # applies to emitters the light table can actually sample:
+                # the table holds the top MAX_LIGHTS emitters by power, and
+                # a scene with more would otherwise lose all light from the
+                # overflow emitters (never NEE-sampled, yet BSDF-
+                # suppressed).
+                in_table = jnp.any(
+                    (h.prim_id[:, None] == light_table.prim_id[None, :])
+                    & light_table.entry_valid[None, :], axis=1)
+                count_emission = active_hit & (emission_ok | ~in_table)
+            else:
+                count_emission = active_hit
+            incoming = incoming + jnp.where(
+                count_emission[:, None], emitted * throughput, 0.0)
 
         if params.nee:
             # Next-event estimation: sample a light + shadow ray, add the
@@ -253,6 +301,25 @@ def trace(scene: Scene, o, d, state, params: RenderParams):
                                    params.cosine_sampling)
             brdf = albedo * pdf_l[:, None]
             direct = brdf * ls["radiance"] * ls["inv_pdf_w"][:, None]
+            if params.mis:
+                # Balance-heuristic MIS (NEE side): weight the light
+                # sample by p_nee/(p_nee + p_bsdf). inv_pdf_w = 1/p_nee,
+                # so w_l = 1/(1 + p_bsdf·inv_pdf_w) — no division by the
+                # light pdf needed.
+                w_l = 1.0 / (1.0 + pdf_l * ls["inv_pdf_w"])
+                direct = direct * w_l[:, None]
+                # BSDF pdf of the sampled scatter direction — the weight
+                # input for the NEXT segment's emission (the other half of
+                # the estimator pair). Only attempted lanes carry it;
+                # non-attempted lanes keep weight 1 via emission_ok.
+                nd_unit = new_dir / jnp.maximum(
+                    jnp.linalg.norm(new_dir, axis=-1, keepdims=True),
+                    1e-12)
+                pdf_scatter = glossy_mix_pdf(
+                    nd_unit, refl, h.normal,
+                    jnp.clip(h.smoothness, 0.0, 1.0 - 1e-6),
+                    params.cosine_sampling)
+                prev_pdf = jnp.where(attempted, pdf_scatter, 0.0)
             incoming = incoming + jnp.where(
                 (nee_lane & ~blocked)[:, None], direct * throughput, 0.0)
             emission_ok = ~attempted
@@ -265,13 +332,14 @@ def trace(scene: Scene, o, d, state, params: RenderParams):
         o = jnp.where(active_hit[:, None], h.point, o)
         d = jnp.where(active_hit[:, None], new_dir, d)
         alive = active_hit
-        return (o, d, throughput, incoming, alive, emission_ok, state,
-                slot), None
+        return (o, d, throughput, incoming, alive, emission_ok, prev_pdf,
+                state, slot), None
 
     # Inclusive loop: bounces+1 segments, matching `i <= number_of_bounces`
     # (wgsl:233; SURVEY quirk Q3 — kept, it defines the reference's look).
     bounce_fn = jax.checkpoint(bounce) if params.remat else bounce
-    (o, d, throughput, incoming, alive, emission_ok, state, slot), _ = \
+    (o, d, throughput, incoming, alive, emission_ok, prev_pdf, state,
+     slot), _ = \
         jax.lax.scan(bounce_fn, init,
                      jnp.arange(params.bounces + 1, dtype=jnp.int32))
     if compacting:

@@ -78,6 +78,19 @@ class RenderParams:
     # delta lobe NEE cannot sample) is always excluded.
     nee: bool = False
     nee_smoothness_cutoff: float = 1.0
+    # Multiple importance sampling for the NEE <-> BSDF estimator pair
+    # (balance heuristic; only meaningful with nee=True). Instead of NEE
+    # lanes fully suppressing the next segment's BSDF-found emission (a
+    # hard either/or that leaves area-sampled NEE alone on near-mirror
+    # lobes — a variance cliff at nee_smoothness_cutoff), BOTH strategies
+    # contribute, each weighted by p_own/(p_nee + p_bsdf) at its sample:
+    # the light-sample pdf is the area->solid-angle measure sample_lights
+    # already computes, the BSDF pdf is the closed-form lerp-lobe density
+    # (lights.glossy_mix_pdf). Weights sum to 1 for every direction both
+    # strategies can reach, so the converged image is unchanged
+    # (test-pinned); variance becomes monotone in smoothness with no
+    # cliff. mis=False restores the pure-suppression estimator.
+    mis: bool = True
     # Low-discrepancy anti-aliasing (extension): the per-frame AA jitter
     # walks the R2 sequence (exact 0.32 fixed-point arithmetic) with a
     # per-pixel Cranley–Patterson rotation instead of fresh PCG draws —
@@ -92,7 +105,9 @@ class RenderParams:
     # 1080p), recomputing the forward bounce during the backward sweep.
     # Whether trading HBM residual traffic for a second kernel pass wins
     # is a hardware A/B (VERDICT r2 #2 — the fwd+bwd gap); gradients are
-    # bit-identical either way (test-pinned).
+    # equal up to fp reassociation under jax.checkpoint (~3e-5 relative,
+    # test-pinned at rtol 1e-3 — XLA fuses the recomputed forward
+    # differently in the cotangent program).
     remat: bool = False
     # Firefly suppression: clamp each traced sample's radiance to this
     # value before accumulation (0 = off, the reference behavior). A

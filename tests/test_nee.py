@@ -280,3 +280,67 @@ def test_nee_glossy_converged_unbiased():
     # WORSE; the large-reduction claim lives on the diffuse test above
     lit = m_off.mean(-1) > 0.01
     assert v_on[lit].mean() < v_off[lit].mean() * 1.05
+
+
+def test_mis_converged_unbiased():
+    """Balance-heuristic MIS (VERDICT r3 #8) must not change the converged
+    image: BSDF-only, NEE with pure suppression (mis=False), and NEE with
+    MIS (default) all estimate the same transport integral — on a GLOSSY
+    floor where the two strategies' pdfs genuinely compete."""
+    b = rt.SceneBuilder()
+    b.add_sphere((0, -100.0, 0), 99.0, (0.8, 0.8, 0.8), smoothness=0.6)
+    b.add_sphere((0, 4.0, 0), 2.0, (0, 0, 0), emission=(1, 1, 1),
+                 emission_strength=5.0)
+    scene = b.build(pad=8)
+    cam = rt.Camera(origin=(0, 2.2, 8.0), look_at=(0, 0.5, 0), fov=35.0,
+                    aspect=1.0)
+    base = rt.RenderParams(width=24, height=24, bounces=2, skybox=False,
+                           backend="jnp")
+    m_off, _ = _mean_image(scene, cam, base, 160)
+    m_sup, _ = _mean_image(scene, cam, base.replace(nee=True, mis=False),
+                           160)
+    m_mis, _ = _mean_image(scene, cam, base.replace(nee=True), 160)
+    assert abs(m_mis.mean() - m_off.mean()) < 0.015, (m_mis.mean(),
+                                                      m_off.mean())
+    assert abs(m_mis.mean() - m_sup.mean()) < 0.015, (m_mis.mean(),
+                                                      m_sup.mean())
+
+
+def test_mis_kills_near_mirror_variance_cliff():
+    """The cliff VERDICT r3 flagged: under pure suppression, a near-mirror
+    surface (s -> 1, below the cutoff) hands the whole direct integral to
+    area-sampled NEE, which is catastrophically noisy inside a tight lobe.
+    Measured on this scene (camera aimed at the emitter's mirror image on
+    a glossy floor, 100 frames): suppression variance 1345 at s=0.9 and
+    5098 at s=0.97 vs BSDF-only 1.8 / 1.0 — a 700-5000x cliff. With
+    balance-heuristic MIS the BSDF strategy keeps the weight where its
+    pdf dominates: variance stays within ~10% of BSDF-only at high s and
+    BEATS both strategies at low/mid s."""
+    def scene_at(s):
+        b = rt.SceneBuilder()
+        b.add_sphere((0, -100.0, 0), 99.0, (0.8, 0.8, 0.8), smoothness=s)
+        b.add_sphere((0, 4.0, 0), 2.0, (0, 0, 0), emission=(1, 1, 1),
+                     emission_strength=5.0)
+        return b.build(pad=8)
+
+    # look at the point on the floor where the emitter's reflection is —
+    # the geometry where the two strategies genuinely compete
+    cam = rt.Camera(origin=(0, 2.2, 8.0), look_at=(0, -1.0, 4.9), fov=30.0,
+                    aspect=1.0)
+    base = rt.RenderParams(width=16, height=16, bounces=1, skybox=False,
+                           backend="jnp")
+    for s, cliff in ((0.5, 1.5), (0.9, 50.0), (0.97, 50.0)):
+        scene = scene_at(s)
+        m_b, v_bsdf = _mean_image(scene, cam, base, 100)
+        _, v_sup = _mean_image(scene, cam,
+                               base.replace(nee=True, mis=False), 100)
+        m_m, v_mis = _mean_image(scene, cam, base.replace(nee=True), 100)
+        lit = m_b.mean(-1) > 0.01
+        vb, vs, vm = (v_bsdf[lit].mean(), v_sup[lit].mean(),
+                      v_mis[lit].mean())
+        # MIS never meaningfully worse than the best single strategy
+        assert vm <= min(vb, vs) * 1.20, (s, vb, vs, vm)
+        # document the cliff MIS removes (suppression-only blows up)
+        assert vs >= vm * cliff, (s, vs, vm)
+        # and the mean stays unbiased
+        assert abs(m_m.mean() - m_b.mean()) < 0.06 * max(m_b.mean(), 1e-3)
