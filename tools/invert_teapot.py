@@ -33,9 +33,13 @@ from ray_tracer_tpu.io import load_model
 from ray_tracer_tpu.renderer import render_aov, render_frame
 from ray_tracer_tpu.utils.retry import retry_transient
 
-STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 200
-SIZE = int(sys.argv[2]) if len(sys.argv) > 2 else 192
-OUTFILE = sys.argv[3] if len(sys.argv) > 3 else "artifacts/invert_teapot.json"
+def _cli_args():
+    # parsed lazily: this module is also imported by tests (run_recovery),
+    # where sys.argv belongs to pytest
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    size = int(sys.argv[2]) if len(sys.argv) > 2 else 192
+    out = sys.argv[3] if len(sys.argv) > 3 else "artifacts/invert_teapot.json"
+    return steps, size, out
 
 TRUE_ALBEDO = np.array([0.7, 0.45, 0.25], np.float32)
 TRUE_OFFSET = np.zeros(3, np.float32)
@@ -43,9 +47,29 @@ START_ALBEDO = np.array(
     [float(x) for x in os.environ.get("RTT_INVERT_START_ALB",
                                       "0.35,0.6,0.55").split(",")],
     np.float32)  # env knob: debugging the coupled dynamics
+START_DIR = np.array(
+    [float(x) for x in os.environ.get("RTT_INVERT_START_DIR",
+                                      "1.0,-0.6,0.4").split(",")],
+    np.float32)  # env knob: multi-seed robustness runs (VERDICT r3 #9)
+
+
+def run_recovery(scene, ext, params, steps, start_offset, start_albedo,
+                 basis, log=True):
+    """The north-star recovery loop, scene-agnostic (tests run it on a
+    CPU-scale scene so the config can't silently rot — VERDICT r3 #9).
+
+    ``scene`` is the TRUE scene (true albedo baked in, textures stripped);
+    recovers a rigid vertex offset (central finite differences of the
+    common-random-numbers loss) and a uniform albedo (autodiff with the
+    hit-overlap-masked cotangent) with the phased two-timescale schedule.
+    Returns (offset np.ndarray, albedo np.ndarray, losses list).
+    """
+    return _run_recovery_impl(scene, ext, params, steps, start_offset,
+                              start_albedo, basis, log)
 
 
 def main():
+    STEPS, SIZE, OUTFILE = _cli_args()
     b = rt.SceneBuilder()
     load_model("/root/reference/assets/the_utah_teapot.glb", b,
                placement="origin", albedo=tuple(TRUE_ALBEDO), smoothness=0.0)
@@ -79,9 +103,37 @@ def main():
     params = rt.RenderParams(width=SIZE, height=SIZE, bounces=1, skybox=True,
                              rays_per_pixel=2)
 
-    start_offset = jnp.asarray(0.12 * ext * np.array([1.0, -0.6, 0.4]),
-                               jnp.float32)
+    start_offset = jnp.asarray(0.12 * ext * START_DIR, jnp.float32)
 
+    t0 = time.time()
+    offset, albedo, _ = run_recovery(scene, ext, params, STEPS,
+                                     start_offset, START_ALBEDO, basis)
+
+    import jax as _jax
+    off_err = float(np.linalg.norm(np.asarray(offset) - TRUE_OFFSET)) / ext
+    alb_err = float(np.abs(np.asarray(albedo) - TRUE_ALBEDO).max())
+    result = {
+        "steps": STEPS, "resolution": SIZE,
+        "seconds": round(time.time() - t0, 1),
+        "tris": 15704,
+        "device": str(_jax.devices()[0]),
+        "start_offset_rel": 0.12 * float(np.linalg.norm(START_DIR)),
+        "start_dir": [float(x) for x in START_DIR],
+        "start_albedo": [float(x) for x in START_ALBEDO],
+        "offset_error_rel_extent": round(off_err, 4),
+        "albedo_error": round(alb_err, 4),
+        "recovered": off_err < 0.02 and alb_err < 0.05,
+    }
+    line = json.dumps(result)
+    print(line)
+    if OUTFILE:
+        os.makedirs(os.path.dirname(OUTFILE) or ".", exist_ok=True)
+        with open(OUTFILE, "w") as f:
+            f.write(line + "\n")
+
+
+def _run_recovery_impl(scene, ext, params, STEPS, start_offset,
+                       start_albedo, basis, log):
     base = dict(v0=scene.tri_v0, v1=scene.tri_v1, v2=scene.tri_v2)
     valid = scene.tri_valid[:, None]
 
@@ -203,17 +255,19 @@ def main():
                 [a_phase, int(0.8 * STEPS)])))},
         {"o": "o", "a": "a"})
     offset = start_offset
-    albedo = jnp.asarray(START_ALBEDO)
+    albedo = jnp.asarray(start_albedo)
     opt_state = opt.init({"o": offset, "a": albedo})
 
-    t0 = time.time()
+    losses = []
     for i in range(STEPS):
         # host-side safe point: the whole step state is ~50 floats, so
         # pulling it each iteration costs nothing next to the render; a
         # transient relay failure retries the step from these host copies
-        # FD step anneals coarse->fine: ~3 world units (a few pixels,
-        # wide capture basin) down to ~0.3 (sub-pixel refinement)
-        h = 3.0 * (0.1 ** (i / max(1, STEPS - 1)))
+        # FD step anneals coarse->fine: 1.5% of scene extent (~3 world
+        # units on the teapot — a few pixels, wide capture basin) down a
+        # decade (sub-pixel refinement). Extent-relative so the loop is
+        # scene-agnostic (identical to the tuned teapot constant there).
+        h = 0.015 * ext * (0.1 ** (i / max(1, STEPS - 1)))
 
         def one_step(_i=i, _os=opt_state, _of=offset, _al=albedo, _h=h):
             return jax.device_get(step(_os, _of, _al, jnp.int32(_i),
@@ -223,30 +277,12 @@ def main():
             one_step, retries=4, base_delay=15.0, max_delay=240.0)
         offset = offset + do
         albedo = np.clip(albedo + da, 0.0, 1.0)  # physical range projection
-        if i % max(1, STEPS // 10) == 0:
+        losses.append(float(loss))
+        if log and i % max(1, STEPS // 10) == 0:
             print(f"step {i:4d} loss {float(loss):.6f} "
                   f"off_err {float(np.linalg.norm(offset))/ext:.4f} "
                   f"alb {np.asarray(albedo).round(3)}", file=sys.stderr)
-
-    import jax as _jax
-    off_err = float(np.linalg.norm(np.asarray(offset) - TRUE_OFFSET)) / ext
-    alb_err = float(np.abs(np.asarray(albedo) - TRUE_ALBEDO).max())
-    result = {
-        "steps": STEPS, "resolution": SIZE,
-        "seconds": round(time.time() - t0, 1),
-        "tris": 15704,
-        "device": str(_jax.devices()[0]),
-        "start_offset_rel": 0.12 * float(np.linalg.norm([1.0, -0.6, 0.4])),
-        "offset_error_rel_extent": round(off_err, 4),
-        "albedo_error": round(alb_err, 4),
-        "recovered": off_err < 0.02 and alb_err < 0.05,
-    }
-    line = json.dumps(result)
-    print(line)
-    if OUTFILE:
-        os.makedirs(os.path.dirname(OUTFILE) or ".", exist_ok=True)
-        with open(OUTFILE, "w") as f:
-            f.write(line + "\n")
+    return np.asarray(offset), np.asarray(albedo), losses
 
 
 if __name__ == "__main__":
