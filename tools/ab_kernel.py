@@ -150,7 +150,7 @@ def main():
                 scene, o, d, alive=alive2, cfg=cfg), o2, d2c)
         elif mode == "dead":       # fully dead wavefront (skip-cost floor)
             args = (lambda o, d, f=f, cfg=cfg: f(
-                scene, o, d, alive=jnp.zeros((R,), bool), cfg=cfg), o2, d2)
+                scene, o, d, alive=jnp.zeros((R,), bool), cfg=cfg), oc, dc)
         elif mode == "alivetrue":  # primary rays but with an alive mask given
             args = (lambda o, d, f=f, cfg=cfg: f(
                 scene, o, d, alive=jnp.ones((R,), bool), cfg=cfg), oc, dc)

@@ -63,9 +63,15 @@ sel abmain2 && run abmain2 1800 \
   exmxu+attrs@bounce1c sup16+cl32+exmxu+attrs@bounce1c \
   sup16+cl32@bounce1c sup24+cl32+exmxu+attrs
 
-# 4b. Single-chunk backward ablations (the fwd+bwd 14x gap)
+# 4b. Single-chunk backward ablations (r4: rep-scanned r_ pieces — the
+# single-launch pieces carry a ~33 ms relay-sync floor, see PERF_NOTES)
 sel bwdchunk && run bwdchunk 2400 \
-  env PROF_ONLY=chunk_fwd,chunk_grad,chunk_grad_remat,chunk_grad_nocoh,chunk_grad_noscene \
+  env PROF_ONLY=r_fwd,r_grad,r_grad_remat,r_fwd_intersect,r_vjp_intersect,r_rows_grad,r_scatter_mxu \
+  python tools/profile_bwd.py
+
+# 4c. Whole-frame gradient programs (the bench fwd+bwd configuration)
+sel bwdframe && run bwdframe 2400 \
+  env PROF_ONLY=fwd,grad_full,grad_chunked4,grad_remat \
   python tools/profile_bwd.py
 
 # 6b. Streaming block-lists OFF (the A/B against the default-on numbers)
