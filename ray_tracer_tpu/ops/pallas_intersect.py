@@ -101,8 +101,8 @@ class KConfig(NamedTuple):
                              measures everything-but-MT; results are wrong).
     """
     rt: int = 512
-    cluster: int = 128
-    tri_rows: int = 128
+    cluster: int = 64
+    tri_rows: int = 64
     step_tiles: int = 2
     traversal: str = "span"
     # Second hierarchy level in the RESIDENT kernel (VERDICT r2 #6):
@@ -114,9 +114,14 @@ class KConfig(NamedTuple):
     # (cluster=32/64) affordable, which is what actually culls
     # geometrically for secondary/incoherent rays (bounce-2 tiles pass
     # 10.2 of 123 coarse clusters — see docs/PERF_NOTES.md culling table).
-    # Span traversal only. A/B knob — flip default once measured on
-    # hardware.
-    supers: int = 0
+    # Span traversal only. DEFAULT FLIPPED r4 to supers=8 + cluster=64
+    # after extraction chunking was decoupled from the cull cluster size
+    # (esize=128 regardless of cl — the coupling is what made finer
+    # clusters lose whole-frame in r3): whole-frame A/B measured
+    # SUPERS=8,CLUSTER=64 at 103.8-105.3 ms/f vs 117.2-176.5 for the old
+    # flat cl128 across two same-session sweeps (1080p teapot, 16-frame
+    # scan harness).
+    supers: int = 8
     # Streaming (tri-blocked) path: triangles ride a second grid dimension
     # in blocks of ``tri_block`` rows instead of keeping the whole scene
     # VMEM-resident — removes the ~30k-triangle VMEM cap. "auto" switches
@@ -777,16 +782,23 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
                             0, keepdims=True)
                     return carry
 
+                # extraction chunk size is DECOUPLED from the cull cluster
+                # size: finer culling clusters (cl32/cl64) would otherwise
+                # shrink the one-hot contraction's K dim and multiply chunk
+                # sweeps — the reason r3's sup16+cl32 lost whole-frame
+                # despite winning intersect-only
+                esize = 128 if TP % 128 == 0 else csize
+
                 def tri_extract(c, carry):
-                    lo_id = jnp.int32(SP) + c * csize
+                    lo_id = jnp.int32(SP) + c * esize
                     in_chunk = ((best_id_v >= lo_id)
-                                & (best_id_v < lo_id + csize))
+                                & (best_id_v < lo_id + esize))
 
                     @pl.when(jnp.any(in_chunk))
                     def _():
-                        sl = pl.ds(c * csize, csize)
+                        sl = pl.ds(c * esize, esize)
                         ids = (jax.lax.broadcasted_iota(
-                            jnp.int32, (csize, RT), 0) + lo_id)
+                            jnp.int32, (esize, RT), 0) + lo_id)
                         ok = ids == best_id_v
                         if cfg.extract == "mxu":
                             # one one-hot contraction replaces the per-
@@ -819,9 +831,9 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
                         # restrict the chunk sweep to the winners' id range
                         is_tw = (best_id_v >= SP) & (best_id_v < SP + TP)
                         c_lo = (jnp.min(jnp.where(is_tw, best_id_v,
-                                                  SP + TP)) - SP) // csize
+                                                  SP + TP)) - SP) // esize
                         c_hi = (jnp.max(jnp.where(is_tw, best_id_v, SP))
-                                - SP) // csize
+                                - SP) // esize
                         jax.lax.fori_loop(c_lo, c_hi + 1, tri_extract, 0)
 
                 attr_out[:, lanes] = acc_ref[:, :]

@@ -112,15 +112,34 @@ def main():
                              backend="pallas", coherent_scatter=True)
     segs = W * H * (params.bounces + 1)
 
-    # argv[4]: comma-separated tri_block specs, each optionally suffixed
-    # ":nolists" to A/B the dense grid vs the scalar-prefetch block lists
+    # argv[4]: comma-separated specs. Each spec is "+"-joined parts:
+    # a bare int (tri_block), "nolists", or KEY=VAL (RTT_ env knob, e.g.
+    # "16384+BLOCKED_STEP=16384+SUPERS=16+CLUSTER=64"). Legacy ":nolists"
+    # suffix still accepted.
+    import os
+    knob_keys = ("RTT_TRI_BLOCK", "RTT_BLOCK_LISTS", "RTT_BLOCKED_STEP",
+                 "RTT_SUPERS", "RTT_CLUSTER", "RTT_TRI_ROWS", "RTT_RT")
+    saved_env = {k: os.environ.get(k) for k in knob_keys}
     for spec in (sys.argv[4].split(",") if len(sys.argv) > 4
                  else ("4096", "8192")):
-        tb, _, flag = spec.partition(":")
-        tb = int(tb)
-        import os
-        os.environ["RTT_TRI_BLOCK"] = str(tb)
-        os.environ["RTT_BLOCK_LISTS"] = "0" if flag == "nolists" else "1"
+        for k, old in saved_env.items():
+            if old is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = old
+        legacy, _, flag = spec.partition(":")
+        if flag == "nolists":
+            os.environ["RTT_BLOCK_LISTS"] = "0"
+        for part in legacy.split("+"):
+            if not part:
+                continue
+            if part == "nolists":
+                os.environ["RTT_BLOCK_LISTS"] = "0"
+            elif "=" in part:
+                k, _, v = part.partition("=")
+                os.environ["RTT_" + k] = v
+            else:
+                os.environ["RTT_TRI_BLOCK"] = str(int(part))
         try:
             @jax.jit
             def looped(o, d, s):
@@ -144,7 +163,11 @@ def main():
             log(f"RESULT {spec}: {dt*1e3:8.1f} ms/frame "
                 f"{segs/dt/1e6:6.1f} M segs/s")
         finally:
-            del os.environ["RTT_TRI_BLOCK"], os.environ["RTT_BLOCK_LISTS"]
+            for k, old in saved_env.items():
+                if old is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = old
 
 
 if __name__ == "__main__":

@@ -372,6 +372,22 @@ def main():
         _scat(ids_sc, g_rows_c * (1.0 + i.astype(jnp.float32) * 1e-12),
               T + S)) * 1e-6)
 
+    # the SoA scatter (the one the production VJP actually calls) at FULL
+    # frame R — the whole-frame backward runs 4 of these per step
+    from ray_tracer_tpu.ops.pallas_intersect import scatter_rows_soa_pallas \
+        as _scat_soa
+
+    rows_f, pid_f, miss_f = jax.block_until_ready(jax.jit(
+        lambda: _itD._winner_rows_impl(
+            scene,
+            jnp.tile(o_c, (8, 1))[:R], jnp.tile(d_c, (8, 1))[:R], 1e-3,
+            jnp.ones((R,), bool)))())
+    g_soa_f = jax.random.normal(key2, (rows_f.shape[0], R), jnp.float32)
+    ids_f = jnp.where(miss_f, T + S, pid_f).astype(jnp.int32)
+    rep_run("r_scatter_soa_fullR", lambda i: jnp.sum(
+        _scat_soa(ids_f, g_soa_f * (1.0 + i.astype(jnp.float32) * 1e-12),
+                  T + S)) * 1e-6)
+
     # severed scene-cotangent chain at chunk size (memory-feasible here)
     from ray_tracer_tpu.ops import intersect as _it0
 
