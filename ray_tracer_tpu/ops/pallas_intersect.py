@@ -958,6 +958,17 @@ def _nearest_hit_call(scene: Scene, o, d, t_min, alive, want_attrs,
     return t_out[0, :R], id_out[0, :R]
 
 
+def _blocked_supers(cfg: KConfig, TB: int) -> int:
+    """Supers size for the streaming kernel: cfg.supers when the block's
+    super count (TB/csize/ss) is a whole f32 sublane tile (multiple of 8),
+    else 0 (flat per-block prepass — Mosaic sublane dims must be >= 8)."""
+    ss = cfg.supers
+    if not ss:
+        return 0
+    s_blk = TB // cfg.cluster // ss
+    return ss if (s_blk >= 8 and s_blk % 8 == 0) else 0
+
+
 def _make_blocked_kernel(SP: int, TB: int, n_blocks: int, t_min: float,
                          tt_s: int, want_attrs: bool, cfg: KConfig,
                          textured: bool = False, num_real_tris: int = 0,
@@ -986,11 +997,25 @@ def _make_blocked_kernel(SP: int, TB: int, n_blocks: int, t_min: float,
     n_sph_chunks = SP // tt_s
     AR = _attr_rows(textured)
     sph_map, tri_map = _attr_copy_maps(textured)
+    # third hierarchy level inside each streamed block (VERDICT r3 #5:
+    # supers on the streaming workload): per-visit, slab the block's few
+    # super AABBs first and only entering supers slab their member
+    # clusters — replaces the every-visit (TB/csize, RT) flat prepass.
+    # Valid only when the per-block super count is a whole sublane tile.
+    ss = _blocked_supers(cfg, TB)
 
     def kernel(*refs):
         if use_lists:
             bl_ref, cnt_ref, *refs = refs
-        ray_ref, sph_ref, tri_ref, clu_ref, blk_ref, *outs_and_scratch = refs
+        if ss:
+            (ray_ref, sph_ref, tri_ref, clu_ref, sup_ref, blk_ref,
+             *outs_and_scratch) = refs
+        else:
+            ray_ref, sph_ref, tri_ref, clu_ref, blk_ref, \
+                *outs_and_scratch = refs
+        sup_flag_ref = None
+        if ss:
+            sup_flag_ref = outs_and_scratch.pop()
         if want_attrs:
             (t_out, id_out, attr_out, bt_ref, bi_ref, flag_ref,
              acc_ref) = outs_and_scratch
@@ -1063,8 +1088,12 @@ def _make_blocked_kernel(SP: int, TB: int, n_blocks: int, t_min: float,
                        + (lo_gid + s))
                 fold_lanes(t, valid, ids)
 
+            C = clu_ref.shape[0]
+            local_limit = jnp.clip(
+                jnp.int32(-(-num_real_tris // csize))
+                - kb * jnp.int32(C), 0, C)
+
             def cluster_prepass():
-                C = clu_ref.shape[0]
                 tn, tf = _slab_test(
                     (clu_ref[:, 0:1], clu_ref[:, 1:2], clu_ref[:, 2:3]),
                     (clu_ref[:, 3:4], clu_ref[:, 4:5], clu_ref[:, 5:6]),
@@ -1073,9 +1102,6 @@ def _make_blocked_kernel(SP: int, TB: int, n_blocks: int, t_min: float,
                 # vacuously, see _cluster_aabbs): this block's real
                 # clusters are those before the global real count
                 cidx = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
-                local_limit = jnp.clip(
-                    jnp.int32(-(-num_real_tris // csize))
-                    - kb * jnp.int32(C), 0, C)
                 enter = ((tf >= tn) & alive & (tn < bt_ref[0:1, lanes])
                          & (cidx < local_limit))
                 flag = jnp.max(jnp.where(enter, 1, 0), axis=1, keepdims=True)
@@ -1083,6 +1109,56 @@ def _make_blocked_kernel(SP: int, TB: int, n_blocks: int, t_min: float,
                 first = jnp.min(jnp.where(flag > 0, cidx, C))
                 last = jnp.max(jnp.where(flag > 0, cidx, -1))
                 return first, last
+
+            def super_prepass_blk():
+                """Stage 1 of the in-block two-level prepass: slab this
+                block's few super AABBs; member clusters slab lazily in
+                super_body_blk, only for entering supers."""
+                SB = sup_ref.shape[0]
+                tn, tf = _slab_test(
+                    (sup_ref[:, 0:1], sup_ref[:, 1:2], sup_ref[:, 2:3]),
+                    (sup_ref[:, 3:4], sup_ref[:, 4:5], sup_ref[:, 5:6]),
+                    (ox, oy, oz), (invdx, invdy, invdz), t_min)
+                sidx = jax.lax.broadcasted_iota(jnp.int32, (SB, 1), 0)
+                enter = ((tf >= tn) & alive & (tn < bt_ref[0:1, lanes])
+                         & (sidx * ss < local_limit))
+                sflag = jnp.max(jnp.where(enter, 1, 0), axis=1,
+                                keepdims=True)
+                sup_flag_ref[:, :] = jnp.broadcast_to(sflag,
+                                                      sup_flag_ref.shape)
+                sfirst = jnp.min(jnp.where(sflag > 0, sidx, SB))
+                slast = jnp.max(jnp.where(sflag > 0, sidx, -1))
+                return sfirst, slast
+
+            def super_body_blk(s_id, carry):
+                @pl.when(sup_flag_ref[s_id, 0] > 0)
+                def _():
+                    base = s_id * ss
+                    sl = pl.ds(pl.multiple_of(base, ss), ss)
+                    tn, tf = _slab_test(
+                        (clu_ref[sl, 0:1], clu_ref[sl, 1:2],
+                         clu_ref[sl, 2:3]),
+                        (clu_ref[sl, 3:4], clu_ref[sl, 4:5],
+                         clu_ref[sl, 5:6]),
+                        (ox, oy, oz), (invdx, invdy, invdz), t_min)
+                    cidx = (jax.lax.broadcasted_iota(jnp.int32, (ss, 1), 0)
+                            + base)
+                    enter = ((tf >= tn) & alive & (tn < bt_ref[0:1, lanes])
+                             & (cidx < local_limit))
+                    cflag = jnp.max(jnp.where(enter, 1, 0), axis=1,
+                                    keepdims=True)
+                    flag_ref[sl, :] = jnp.broadcast_to(
+                        cflag, (ss, flag_ref.shape[1]))
+                    for off in range(ss):
+                        @pl.when(flag_ref[base + off, 0] > 0)
+                        def _(off=off):
+                            c = base + off
+                            if cfg.mt == "mxu":
+                                mt_cluster_mxu(c * csize)
+                            else:
+                                for r0 in range(0, csize, tri_sub):
+                                    tri_rows(c * csize + r0, tri_sub)
+                return carry
 
             if cfg.mt == "mxu":
                 omat, dmat, oxd = _ray_mats(ray_ref, lanes)
@@ -1128,11 +1204,14 @@ def _make_blocked_kernel(SP: int, TB: int, n_blocks: int, t_min: float,
 
             @pl.when(jnp.any(block_enter) & tri_live)
             def _():
-                # per-block cluster prepass; an all-culled block (first >
-                # last) never touches its triangles — the mid level of
-                # the hierarchy.
-                first, last = cluster_prepass()
-                jax.lax.fori_loop(first, last + 1, span_body, 0)
+                # per-block prepass; an all-culled block never touches
+                # its triangles — the mid level of the hierarchy.
+                if ss:
+                    sfirst, slast = super_prepass_blk()
+                    jax.lax.fori_loop(sfirst, slast + 1, super_body_blk, 0)
+                else:
+                    first, last = cluster_prepass()
+                    jax.lax.fori_loop(first, last + 1, span_body, 0)
 
             if want_attrs:
                 best_id_v = bi_ref[0:1, lanes]
@@ -1149,16 +1228,20 @@ def _make_blocked_kernel(SP: int, TB: int, n_blocks: int, t_min: float,
                             0, keepdims=True)
                     return carry
 
+                # extraction chunk size decoupled from the cull cluster
+                # size (same rationale as the resident kernel, r4)
+                esize = 128 if TB % 128 == 0 else csize
+
                 def tri_extract(c, carry):
-                    lo_id = lo_gid + c * csize
+                    lo_id = lo_gid + c * esize
                     in_chunk = ((best_id_v >= lo_id)
-                                & (best_id_v < lo_id + csize))
+                                & (best_id_v < lo_id + esize))
 
                     @pl.when(jnp.any(in_chunk))
                     def _():
-                        sl = pl.ds(c * csize, csize)
+                        sl = pl.ds(c * esize, esize)
                         ids = (jax.lax.broadcasted_iota(
-                            jnp.int32, (csize, RT), 0) + lo_id)
+                            jnp.int32, (esize, RT), 0) + lo_id)
                         ok = ids == best_id_v
                         if cfg.extract == "mxu":
                             # same one-hot contraction as the resident
@@ -1206,11 +1289,11 @@ def _make_blocked_kernel(SP: int, TB: int, n_blocks: int, t_min: float,
                         is_tw = updated
                         c_lo = (jnp.min(jnp.where(is_tw, best_id_v,
                                                   lo_gid + TB))
-                                - lo_gid) // csize
+                                - lo_gid) // esize
                         c_hi = (jnp.max(jnp.where(is_tw, best_id_v, lo_gid))
-                                - lo_gid) // csize
+                                - lo_gid) // esize
                         jax.lax.fori_loop(c_lo, jnp.minimum(
-                            c_hi + 1, TB // csize), tri_extract, 0)
+                            c_hi + 1, TB // esize), tri_extract, 0)
 
         def out_tile(L):
             """Final-visit output flush for the tile at lane offset L
@@ -1344,6 +1427,19 @@ def _nearest_hit_blocked_call(scene: Scene, o, d, t_min, alive, want_attrs,
     ], axis=1)
 
     use_lists = cfg.block_lists and n_blocks > 1
+    ss_b = _blocked_supers(cfg, TB)
+    if ss_b:
+        # per-block super AABBs from the padded cluster AABBs: supers
+        # mixing real+padding clusters inherit the real extents (min/max
+        # against +/-inf); all-padding supers are masked in-kernel by the
+        # block-local real-cluster count
+        n_sup_tot = TPp // csize // ss_b
+        sup = jnp.concatenate([
+            clu[:, 0:3].reshape(n_sup_tot, ss_b, 3).min(1),
+            clu[:, 3:6].reshape(n_sup_tot, ss_b, 3).max(1),
+            jnp.zeros((n_sup_tot, 2), jnp.float32),
+        ], axis=1)
+        s_blk = TB // csize // ss_b
     kernel = _make_blocked_kernel(SP, TB, n_blocks, float(t_min), tt_s,
                                   want_attrs, cfg, textured,
                                   num_real_tris=scene.num_tris,
@@ -1380,6 +1476,8 @@ def _nearest_hit_blocked_call(scene: Scene, o, d, t_min, alive, want_attrs,
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((AR, Rp), jnp.float32))
         scratch.append(pltpu.VMEM((AR, step), jnp.float32))
+    if ss_b:
+        scratch.append(pltpu.VMEM((s_blk, 128), jnp.int32))
 
     in_specs = [
         pl.BlockSpec((8, step), ray_map, memory_space=pltpu.VMEM),
@@ -1388,6 +1486,9 @@ def _nearest_hit_blocked_call(scene: Scene, o, d, t_min, alive, want_attrs,
         pl.BlockSpec((TB // csize, 8), blk_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((n_blocks, 8), fix_map, memory_space=pltpu.VMEM),
     ]
+    if ss_b:
+        in_specs.insert(4, pl.BlockSpec((s_blk, 8), blk_map,
+                                        memory_space=pltpu.VMEM))
     cost = pl.CostEstimate(
         flops=Rp * (SP * 25 + TPp * 45),
         bytes_accessed=(Rp * 8 * 4 + SP * 64
@@ -1409,7 +1510,7 @@ def _nearest_hit_blocked_call(scene: Scene, o, d, t_min, alive, want_attrs,
             out_shape=out_shape,
             interpret=interpret,
             cost_estimate=cost,
-        )(bl, cnt, rays, sph, tri, clu, blk)
+        )(bl, cnt, rays, sph, tri, clu, *((sup,) if ss_b else ()), blk)
     else:
         outs = pl.pallas_call(
             kernel,
@@ -1420,7 +1521,7 @@ def _nearest_hit_blocked_call(scene: Scene, o, d, t_min, alive, want_attrs,
             scratch_shapes=scratch,
             interpret=interpret,
             cost_estimate=cost,
-        )(rays, sph, tri, clu, blk)
+        )(rays, sph, tri, clu, *((sup,) if ss_b else ()), blk)
 
     if want_attrs:
         t_out, id_out, attr_out = outs

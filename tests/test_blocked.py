@@ -258,3 +258,26 @@ def test_blocked_mxu_extract_matches_oracle():
         same = hit & (np.asarray(id_blk) == np.asarray(id_ref))
         want = np.asarray(_pack_attrs(scene))[np.asarray(id_ref)[same]]
         np.testing.assert_array_equal(np.asarray(rows).T[same], want)
+
+
+def test_blocked_supers_in_block_parity():
+    """The r4 third hierarchy level (supers INSIDE each streamed block —
+    super slab -> lazy member-cluster slab -> MT) must be bit-equivalent
+    to the flat per-block prepass. cluster=16 makes the per-block super
+    count (1024/16/8 = 8) a whole sublane tile so the path is genuinely
+    active (the default tri_block=1024 test config auto-disables it)."""
+    from ray_tracer_tpu.ops.pallas_intersect import _blocked_supers
+
+    scene = _mesh_scene(2400)
+    o, d = _random_rays(640, seed=11)
+    sup_cfg = KConfig(tri_block=1024, blocked="force", cluster=16,
+                      tri_rows=16, supers=8)
+    flat_cfg = sup_cfg._replace(supers=0)
+    assert _blocked_supers(sup_cfg, 1024) == 8
+    t_s, id_s = nearest_hit_pallas(scene, o, d, 1e-4, interpret=INTERPRET,
+                                   cfg=sup_cfg)
+    t_f, id_f = nearest_hit_pallas(scene, o, d, 1e-4, interpret=INTERPRET,
+                                   cfg=flat_cfg)
+    np.testing.assert_array_equal(np.asarray(t_s), np.asarray(t_f))
+    np.testing.assert_array_equal(np.asarray(id_s), np.asarray(id_f))
+    _check_t_id(scene, o, d, sup_cfg)

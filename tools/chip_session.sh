@@ -78,6 +78,10 @@ sel bwdframe && run bwdframe 2400 \
 sel blockedab && run blockedab 1200 \
   python tools/bench_blocked.py 4 9 160 8192:nolists
 
+# 6c. Streaming in-block supers A/B (r4 third hierarchy level)
+sel blockedsup && run blockedsup 2400 \
+  python tools/bench_blocked.py 4 9 160 "8192,8192+SUPERS=0"
+
 # 7. Inverse-rendering north star (VERDICT #9)
 sel invert && run invert 3600 python tools/invert_teapot.py
 
