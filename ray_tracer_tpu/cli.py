@@ -68,6 +68,9 @@ def _add_common(p):
     p.add_argument("--clamp", type=float, default=0.0,
                    help="clamp per-sample radiance (firefly suppression; "
                         "0 = off)")
+    p.add_argument("--rr", type=int, default=0, metavar="N",
+                   help="Russian roulette from bounce N (unbiased "
+                        "early path termination; 0 = off)")
     p.add_argument("--chunk-pixels", type=int, default=0)
     p.add_argument("--seed", type=int, default=0, help="random_balls scene seed")
     p.add_argument("--aperture", type=float, default=None,
@@ -85,7 +88,8 @@ def _build(args):
         chunk_pixels=args.chunk_pixels, nee=args.nee,
         mis=not args.no_mis,
         cosine_sampling=args.cosine_sampling, compaction=args.compaction,
-        coherent_scatter=args.coherent, clamp=args.clamp, qmc=args.qmc)
+        coherent_scatter=args.coherent, clamp=args.clamp, qmc=args.qmc,
+        rr_start=args.rr)
     if args.model:
         import numpy as _np
         b = SceneBuilder()

@@ -332,6 +332,20 @@ def trace(scene: Scene, o, d, state, params: RenderParams):
         o = jnp.where(active_hit[:, None], h.point, o)
         d = jnp.where(active_hit[:, None], new_dir, d)
         alive = active_hit
+        if params.rr_start:
+            # Russian roulette (extension; params.rr_start=0 keeps the
+            # reference transport bitwise — no draw, no stream change).
+            # Survival p = max-channel throughput clamped to [0.05, 1];
+            # survivors divide by p, so the estimator stays unbiased while
+            # dim paths die early — on TPU the win is whole dead TILES the
+            # kernel skips, not per-lane divergence.
+            state, u_rr = sampling.uniform(state)
+            p_surv = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 1.0)
+            rr_on = seg_index >= params.rr_start
+            kill = rr_on & (u_rr >= p_surv)
+            boost = jnp.where(rr_on & ~kill, 1.0 / p_surv, 1.0)
+            throughput = throughput * boost[:, None]
+            alive = alive & ~kill
         return (o, d, throughput, incoming, alive, emission_ok, prev_pdf,
                 state, slot), None
 

@@ -99,6 +99,15 @@ class RenderParams:
     # sampling keep the reference's PCG streams. Off by default: qmc=False
     # is bit-identical to the reference sampler.
     qmc: bool = False
+    # Russian roulette path termination (extension; standard production
+    # knob): from ray segment index >= rr_start, each path survives with
+    # probability p = clip(max-channel throughput, 0.05, 1) and survivors
+    # divide their throughput by p — unbiased (converged image unchanged,
+    # test-pinned), dim deep paths die early. On TPU the payoff is whole
+    # dead 128-ray tiles the Pallas kernel skips (lane-level divergence
+    # doesn't help a VPU). 0 = off (the reference transport, bitwise — no
+    # RNG draw happens, so streams are untouched).
+    rr_start: int = 0
     # Rematerialize the bounce-scan body in the backward pass
     # (jax.checkpoint): saves only the per-bounce carry instead of every
     # intermediate (winner rows, shading temporaries — hundreds of MB at

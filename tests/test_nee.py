@@ -344,3 +344,19 @@ def test_mis_kills_near_mirror_variance_cliff():
         assert vs >= vm * cliff, (s, vs, vm)
         # and the mean stays unbiased
         assert abs(m_m.mean() - m_b.mean()) < 0.06 * max(m_b.mean(), 1e-3)
+
+
+def test_mis_with_compaction_bitexact():
+    """The MIS carry (prev_pdf, the previous scatter's lobe pdf) must ride
+    the wavefront-compaction reorder with the rest of the per-lane state:
+    octant-compacted NEE+MIS render == uncompacted, bit for bit (per-lane
+    RNG travels with the lane; radiance scatters back by original slot)."""
+    scene, cam = rt.builtin_scene("room", aspect=1.0)
+    basis = rt.camera_basis(cam)
+    base = rt.RenderParams(width=32, height=32, bounces=2, skybox=True,
+                           nee=True, backend="pallas")
+    a = np.asarray(render_frame(scene, basis, base, jnp.int32(0)))
+    b = np.asarray(render_frame(scene, basis,
+                                base.replace(compaction="octant"),
+                                jnp.int32(0)))
+    np.testing.assert_array_equal(a, b)

@@ -244,3 +244,30 @@ def test_adaptive_resilient_retries_transient(monkeypatch):
     assert used == 4 and np.isfinite(img).all()
     ref, _ = render_adaptive(scene, basis, params, 4, 0.0, chunk=2)
     np.testing.assert_array_equal(np.asarray(img), np.asarray(ref))
+
+
+def test_russian_roulette_unbiased_and_off_bitwise():
+    """rr_start=0 must be bitwise the reference transport (no RNG draw);
+    rr_start=N must leave the converged image unchanged (unbiased — the
+    survivors' 1/p boost exactly compensates the killed paths) on an
+    enclosed scene where deep bounces carry real energy."""
+    from ray_tracer_tpu.renderer import render_frame
+    scene, cam = rt.builtin_scene("room", aspect=1.0)
+    basis = rt.camera_basis(cam)
+    p0 = rt.RenderParams(width=20, height=20, bounces=4, skybox=False,
+                         backend="jnp")
+    a = np.asarray(render_frame(scene, basis, p0, jnp.int32(0)))
+    b = np.asarray(render_frame(scene, basis, p0.replace(rr_start=0),
+                                jnp.int32(0)))
+    np.testing.assert_array_equal(a, b)
+
+    def mean_img(params, frames=220):
+        return np.mean([np.asarray(render_frame(scene, basis, params,
+                                                jnp.int32(i)))
+                        for i in range(frames)], 0)
+
+    m_off = mean_img(p0)
+    m_rr = mean_img(p0.replace(rr_start=2))
+    # image-average agreement within sampling error
+    assert abs(m_rr.mean() - m_off.mean()) < 0.02 * max(m_off.mean(), 1e-3), (
+        m_rr.mean(), m_off.mean())
