@@ -28,7 +28,7 @@ if _os.environ.get("RTT_PLATFORM"):
 
     _jax.config.update("jax_platforms", _os.environ["RTT_PLATFORM"])
 
-from .camera import Camera, CameraBasis, CameraController, camera_basis, camera_rays, update_camera
+from .camera import Camera, CameraBasis, CameraController, camera_basis, camera_basis_jnp, camera_rays, update_camera
 from .denoise import denoise
 from .renderer import (Renderer, accumulate, render, render_adaptive,
                        render_aov, render_frame, render_pixels,
@@ -49,7 +49,7 @@ from .utils.config import RenderParams
 __version__ = "0.1.0"
 
 __all__ = [
-    "Camera", "CameraBasis", "CameraController", "camera_basis", "camera_rays",
+    "Camera", "CameraBasis", "CameraController", "camera_basis", "camera_basis_jnp", "camera_rays",
     "update_camera", "Renderer", "accumulate", "render", "render_adaptive",
     "render_aov", "render_frame", "render_pixels", "render_progressive",
     "trace", "denoise", "Scene", "SceneBuilder", "builtin_scene",

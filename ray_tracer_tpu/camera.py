@@ -109,6 +109,50 @@ def camera_basis(cam: Camera) -> CameraBasis:
     )
 
 
+def camera_basis_jnp(origin, look_at, vup=(0.0, 1.0, 0.0), fov: float = 45.0,
+                     aspect: float = 1.0, focus_dist: float = 1.0,
+                     aperture: float = 0.0) -> CameraBasis:
+    """Differentiable twin of ``camera_basis`` on traced jnp values — the
+    camera-calibration entry point: ``jax.grad`` flows from pixel loss
+    through the ray-gen basis to the pose (origin/look_at) and focus
+    distance, so camera recovery by gradient descent works like scene
+    recovery (tests/test_camera.py pins pose recovery).
+
+    Use INSIDE jit with traced inputs only. For a static camera keep
+    using ``camera_basis`` (host numpy) — a closed-over device-resident
+    basis costs ~16 s per array at lowering time through the tunneled
+    backend (see that docstring). ``fov``/``aspect``/``aperture`` stay
+    static Python floats (resolution-like quantities); ``origin``,
+    ``look_at`` and ``focus_dist`` may be traced arrays."""
+    import math as _math
+
+    origin = jnp.asarray(origin, jnp.float32)
+    look_at = jnp.asarray(look_at, jnp.float32)
+    vup = jnp.asarray(vup, jnp.float32)
+
+    theta = _math.radians(fov)
+    height = 2.0 * _math.tan(theta / 2.0)
+    width = aspect * height
+
+    def _norm(v):
+        return v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+
+    w = _norm(origin - look_at)
+    u = _norm(jnp.cross(vup, w))
+    v = jnp.cross(w, u)
+    focus_dist = jnp.asarray(focus_dist, jnp.float32)
+
+    horizontal = focus_dist * width * u
+    vertical = focus_dist * height * v
+    lower_left = origin - horizontal / 2.0 - vertical / 2.0 - focus_dist * w
+
+    return CameraBasis(
+        origin=origin, lower_left=lower_left, horizontal=horizontal,
+        vertical=vertical, u=u, v=v, w=w,
+        lens_radius=jnp.float32(aperture / 2.0),
+    )
+
+
 def camera_rays(basis: CameraBasis, pix_x, pix_y, size_wh, state,
                 jitter=None):
     """Generate one primary ray per lane (shaders/ray_tracer.wgsl:313-321).
