@@ -538,304 +538,317 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
             host-side trace/lowering time by step_tiles, measured 40 s →
             200+ s at step_tiles=4)."""
             lanes = pl.ds(pl.multiple_of(L, RT), RT)
-            # ray_ref: (8, step_tiles*RT) rows [ox oy oz dx dy dz alive ·]
-            ox, oy, oz = (ray_ref[0:1, lanes], ray_ref[1:2, lanes],
-                          ray_ref[2:3, lanes])
-            dx, dy, dz = (ray_ref[3:4, lanes], ray_ref[4:5, lanes],
-                          ray_ref[5:6, lanes])
-            alive = ray_ref[6:7, lanes] > 0.5
-            a_quad = dx * dx + dy * dy + dz * dz      # (1, RT), |d|^2
-            # slab-test reciprocals; IEEE inf is fine except 0*inf at lo==o,
-            # so substitute a huge finite value for axis-parallel rays
-            invdx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
-            invdy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
-            invdz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
-
+            # Whole-tile liveness gate (r4): a fully dead tile (sparse
+            # deep-bounce wavefronts) previously still paid the ray loads
+            # + reciprocals + their serial VMEM latency — the dominant
+            # share of the 5.8 ms all-dead launch floor. Scratch inits and
+            # output writes stay unconditional (dead tiles must emit
+            # inf/BIG_ID/zero attrs).
+            alive_any = jnp.any(ray_ref[6:7, lanes] > 0.5)
             bt_ref[0:1, :] = jnp.full((1, RT), jnp.inf, jnp.float32)
             bi_ref[0:1, :] = jnp.full((1, RT), BIG_ID, jnp.int32)
-
-            def sphere_chunk(k, carry):
-                s = k * tt_s
-                sl = pl.ds(s, tt_s)
-                t, ok = _sphere_pairs(
-                    (sph_ref[sl, 0:1], sph_ref[sl, 1:2], sph_ref[sl, 2:3]),
-                    sph_ref[sl, 3:4], (ox, oy, oz), (dx, dy, dz),
-                    a_quad, t_min)
-                valid = ok & (sph_ref[sl, 4:5] > 0.5) & alive
-                ids = (jax.lax.broadcasted_iota(jnp.int32, (tt_s, RT), 0)
-                       + jnp.int32(s))
-                _min_fold_refs(t, valid, ids, bt_ref, bi_ref)
-                return carry
-
-            def tri_rows(s, rows):
-                """Möller–Trumbore on ``rows`` triangles starting at row s."""
-                sl = pl.ds(s, rows)
-                t, ok = _mt_pairs(
-                    (tri_ref[sl, 0:1], tri_ref[sl, 1:2], tri_ref[sl, 2:3]),
-                    (tri_ref[sl, 3:4], tri_ref[sl, 4:5], tri_ref[sl, 5:6]),
-                    (tri_ref[sl, 6:7], tri_ref[sl, 7:8], tri_ref[sl, 8:9]),
-                    (tri_ref[sl, 9:10], tri_ref[sl, 10:11],
-                     tri_ref[sl, 11:12]),
-                    (ox, oy, oz), (dx, dy, dz), t_min)
-                valid = ok & alive
-                ids = (jax.lax.broadcasted_iota(jnp.int32, (rows, RT), 0)
-                       + (jnp.int32(SP) + s))
-                _min_fold_refs(t, valid, ids, bt_ref, bi_ref)
-
-            if cfg.mt == "mxu":
-                # cluster-invariant (3, RT) ray matrices — ONE evaluation
-                # per tile, not per visited cluster
-                omat, dmat, oxd = _ray_mats(ray_ref, lanes)
-
-            def mt_cluster_mxu(s):
-                """Möller–Trumbore for a whole cluster as three MXU
-                contractions (shared _mt_mxu_pairs; only the fold tail
-                differs per kernel)."""
-                mo = 48 if textured else 32      # mxu-prep column offset
-                sl = pl.ds(s, csize)
-                t, ok = _mt_mxu_pairs(tri_ref, sl, mo, dmat, omat, oxd,
-                                      t_min)
-                ids = (jax.lax.broadcasted_iota(jnp.int32, (csize, RT), 0)
-                       + (jnp.int32(SP) + s))
-                _min_fold_refs(t, ok & alive, ids, bt_ref, bi_ref)
-
-            def tri_block(s):
-                """MT on a whole cluster, in tri_rows-row sub-blocks: a
-                (csize,RT) op is csize·RT/1024 vregs and MT keeps ~25-30
-                temporaries live, far beyond the VPU register file — smaller
-                sub-blocks keep live ranges register-resident (spill
-                suspect 2.5 in docs/PERF_NOTES.md). Static Python loop →
-                fully unrolled, no scalar-loop overhead. The "mxu" engine
-                instead rides the cluster through the systolic array in one
-                shot (KConfig.mt)."""
-                if cfg.mt == "mxu":
-                    mt_cluster_mxu(s)
-                    return
-                for r0 in range(0, csize, tri_sub):
-                    tri_rows(s + r0, tri_sub)
-
-            def cluster_prepass():
-                """Vectorized slab test of ALL cluster AABBs at once → per-
-                cluster enter flags, the span [first, last] of entering
-                clusters, and the NEAREST entering cluster c0.
-
-                One (C, RT) batch — no per-cluster scalar loads or branches,
-                which otherwise cost as much as the culled triangle math.
-                The span relies on Morton order making entering clusters (a
-                compact tile frustum × a space-filling curve) contiguous.
-                """
-                C = clu_ref.shape[0]
-                tn, tf = _slab_test(
-                    (clu_ref[:, 0:1], clu_ref[:, 1:2], clu_ref[:, 2:3]),
-                    (clu_ref[:, 3:4], clu_ref[:, 4:5], clu_ref[:, 5:6]),
-                    (ox, oy, oz), (invdx, invdy, invdz), t_min)  # (C, RT)
-                # initial tightening: spheres already folded into best_t;
-                # all-padding clusters pass the slab test vacuously (see
-                # _cluster_aabbs) — mask them by the real-cluster count
-                cidx = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
-                enter = ((tf >= tn) & alive & (tn < bt_ref[0:1, :])
-                         & (cidx < jnp.int32(n_real_clu)))
-                flag = jnp.max(jnp.where(enter, 1, 0), axis=1, keepdims=True)
-                flag_ref[:, :] = jnp.broadcast_to(flag, flag_ref.shape)
-                first = jnp.min(jnp.where(flag > 0, cidx, C))
-                last = jnp.max(jnp.where(flag > 0, cidx, -1))
-                # nearest entering cluster = argmin of the tile-min entry
-                # distance; the traversal spirals outward from it
-                tn_tile = jnp.min(jnp.where(enter, tn, jnp.inf), axis=1,
-                                  keepdims=True)                 # (C, 1)
-                c0 = jnp.min(jnp.where(tn_tile <= jnp.min(tn_tile), cidx, C))
-                return first, last, jnp.minimum(c0, last)
-
-            def make_order_body(first, last, c0):
-                def order_body(k, carry):
-                    # center-out visit order c0, c0+1, c0-1, c0+2, … — a
-                    # near-to-far proxy (Morton neighbors are spatial
-                    # neighbors), so early hits tighten best_t before far
-                    # clusters are re-tested, and the re-test culls them:
-                    # BVH-style early-out on a flat cluster array
-                    off = (k + 1) // 2
-                    c = c0 + jnp.where(k % 2 == 1, off, -off)
-
-                    @pl.when((c >= first) & (c <= last)
-                             & (flag_ref[c, 0] > 0))
-                    def _():
-                        # re-test this cluster against the CURRENT best
-                        # before paying for its csize×RT MT tile
-                        tn, tf = _slab_test(
-                            (clu_ref[c, 0], clu_ref[c, 1], clu_ref[c, 2]),
-                            (clu_ref[c, 3], clu_ref[c, 4], clu_ref[c, 5]),
-                            (ox, oy, oz), (invdx, invdy, invdz), t_min)
-                        enter = (tf >= tn) & alive & (tn < bt_ref[0:1, :])
-
-                        @pl.when(jnp.any(enter))
-                        def _():
-                            tri_block(c * csize)
-                    return carry
-                return order_body
-
-            def span_body(c, carry):
-                # per-cluster flag read (one scalar) skips Morton-span slack
-                @pl.when(flag_ref[c, 0] > 0)
-                def _():
-                    tri_block(c * csize)
-                return carry
-
-            def super_prepass():
-                """Stage 1 of the two-level prepass (KConfig.supers): slab
-                the few super AABBs at once → per-super flags + span. The
-                member-cluster slabs run lazily inside super_body, only
-                for entering supers."""
-                SCr = sup_ref.shape[0]
-                tn, tf = _slab_test(
-                    (sup_ref[:, 0:1], sup_ref[:, 1:2], sup_ref[:, 2:3]),
-                    (sup_ref[:, 3:4], sup_ref[:, 4:5], sup_ref[:, 5:6]),
-                    (ox, oy, oz), (invdx, invdy, invdz), t_min)  # (SCr, RT)
-                sidx = jax.lax.broadcasted_iota(jnp.int32, (SCr, 1), 0)
-                enter = ((tf >= tn) & alive & (tn < bt_ref[0:1, :])
-                         & (sidx < jnp.int32(n_real_super)))
-                sflag = jnp.max(jnp.where(enter, 1, 0), axis=1,
-                                keepdims=True)
-                sup_flag_ref[:, :] = jnp.broadcast_to(sflag,
-                                                      sup_flag_ref.shape)
-                sfirst = jnp.min(jnp.where(sflag > 0, sidx, SCr))
-                slast = jnp.max(jnp.where(sflag > 0, sidx, -1))
-                return sfirst, slast
-
-            def super_body(s_id, carry):
-                @pl.when(sup_flag_ref[s_id, 0] > 0)
-                def _():
-                    base = s_id * ss
-                    sl = pl.ds(pl.multiple_of(base, ss), ss)
-                    # stage 2: slab only this super's member clusters,
-                    # tightened by the best-t reached so far (earlier
-                    # supers' hits cull later ones — BVH-style early-out)
-                    tn, tf = _slab_test(
-                        (clu_ref[sl, 0:1], clu_ref[sl, 1:2],
-                         clu_ref[sl, 2:3]),
-                        (clu_ref[sl, 3:4], clu_ref[sl, 4:5],
-                         clu_ref[sl, 5:6]),
-                        (ox, oy, oz), (invdx, invdy, invdz), t_min)
-                    cidx = (jax.lax.broadcasted_iota(jnp.int32, (ss, 1), 0)
-                            + base)
-                    enter = ((tf >= tn) & alive & (tn < bt_ref[0:1, :])
-                             & (cidx < jnp.int32(n_real_clu)))
-                    cflag = jnp.max(jnp.where(enter, 1, 0), axis=1,
-                                    keepdims=True)
-                    flag_ref[sl, :] = jnp.broadcast_to(
-                        cflag, (ss, flag_ref.shape[1]))
-                    for off in range(ss):
-                        @pl.when(flag_ref[base + off, 0] > 0)
-                        def _(off=off):
-                            tri_block((base + off) * csize)
-                return carry
-
-            def nocull_body(c, carry):
-                tri_block(c * csize)
-                return carry
-
-            @pl.when(jnp.any(alive))
-            def _():
-                # fully-dead tiles (compacted wavefront tail) skip everything
-                if has_spheres:
-                    jax.lax.fori_loop(0, n_sph_chunks, sphere_chunk, 0)
-                if not has_tris:
-                    return
-                if cfg.traversal == "nocull":
-                    jax.lax.fori_loop(0, TP // csize, nocull_body, 0)
-                    return
-                if ss:
-                    sfirst, slast = super_prepass()
-                    jax.lax.fori_loop(sfirst, slast + 1, super_body, 0)
-                    return
-                first, last, c0 = cluster_prepass()
-                if cfg.traversal == "centerout":
-                    n_steps = 2 * jnp.maximum(last - c0, c0 - first) + 1
-                    jax.lax.fori_loop(0, n_steps,
-                                      make_order_body(first, last, c0), 0)
-                elif cfg.traversal == "prepassonly":
-                    pass    # ablation: no MT at all (results are wrong)
-                else:  # "span": ascending flag-gated sweep, no re-test
-                    jax.lax.fori_loop(first, last + 1, span_body, 0)
-
             if want_attrs:
-                # ---- winner raw-row extraction (one-hot masked sums) -----
-                # Emits the winner's merged-table row (intersect._pack_attrs
-                # layout) VERBATIM from the plane columns — no in-kernel
-                # recompute; the differentiable normal/UV/material math runs
-                # outside (intersect.hit_attributes_from_rows), bit-identical
-                # to the oracle because the rows are. Replaces the XLA
-                # winner-gather (per-element gather cost on TPU dwarfs the
-                # VPU math). Only chunks containing a winning id run;
-                # coherent tiles touch few.
-                best_id_v = bi_ref[0:1, :]
                 acc_ref[:, :] = jnp.zeros((AR, RT), jnp.float32)
 
-                def sph_extract(k, carry):
-                    sbase = k * tt_s
-                    ids = (jax.lax.broadcasted_iota(
-                        jnp.int32, (tt_s, RT), 0) + jnp.int32(sbase))
-                    ok = ids == best_id_v                        # (tt, RT)
-                    for row, col in sph_map:
-                        acc_ref[row:row + 1, :] += jnp.sum(
-                            jnp.where(ok, sph_ref[pl.ds(sbase, tt_s),
-                                                  col:col + 1], 0.0),
-                            0, keepdims=True)
+            @pl.when(alive_any)
+            def _run_tile():
+                # ray_ref: (8, step_tiles*RT) rows [ox oy oz dx dy dz alive ·]
+                ox, oy, oz = (ray_ref[0:1, lanes], ray_ref[1:2, lanes],
+                              ray_ref[2:3, lanes])
+                dx, dy, dz = (ray_ref[3:4, lanes], ray_ref[4:5, lanes],
+                              ray_ref[5:6, lanes])
+                alive = ray_ref[6:7, lanes] > 0.5
+                a_quad = dx * dx + dy * dy + dz * dz      # (1, RT), |d|^2
+                # slab-test reciprocals; IEEE inf is fine except 0*inf at lo==o,
+                # so substitute a huge finite value for axis-parallel rays
+                invdx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
+                invdy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
+                invdz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
+
+
+                def sphere_chunk(k, carry):
+                    s = k * tt_s
+                    sl = pl.ds(s, tt_s)
+                    t, ok = _sphere_pairs(
+                        (sph_ref[sl, 0:1], sph_ref[sl, 1:2], sph_ref[sl, 2:3]),
+                        sph_ref[sl, 3:4], (ox, oy, oz), (dx, dy, dz),
+                        a_quad, t_min)
+                    valid = ok & (sph_ref[sl, 4:5] > 0.5) & alive
+                    ids = (jax.lax.broadcasted_iota(jnp.int32, (tt_s, RT), 0)
+                           + jnp.int32(s))
+                    _min_fold_refs(t, valid, ids, bt_ref, bi_ref)
                     return carry
 
-                # extraction chunk size is DECOUPLED from the cull cluster
-                # size: finer culling clusters (cl32/cl64) would otherwise
-                # shrink the one-hot contraction's K dim and multiply chunk
-                # sweeps — the reason r3's sup16+cl32 lost whole-frame
-                # despite winning intersect-only
-                esize = 128 if TP % 128 == 0 else csize
+                def tri_rows(s, rows):
+                    """Möller–Trumbore on ``rows`` triangles starting at row s."""
+                    sl = pl.ds(s, rows)
+                    t, ok = _mt_pairs(
+                        (tri_ref[sl, 0:1], tri_ref[sl, 1:2], tri_ref[sl, 2:3]),
+                        (tri_ref[sl, 3:4], tri_ref[sl, 4:5], tri_ref[sl, 5:6]),
+                        (tri_ref[sl, 6:7], tri_ref[sl, 7:8], tri_ref[sl, 8:9]),
+                        (tri_ref[sl, 9:10], tri_ref[sl, 10:11],
+                         tri_ref[sl, 11:12]),
+                        (ox, oy, oz), (dx, dy, dz), t_min)
+                    valid = ok & alive
+                    ids = (jax.lax.broadcasted_iota(jnp.int32, (rows, RT), 0)
+                           + (jnp.int32(SP) + s))
+                    _min_fold_refs(t, valid, ids, bt_ref, bi_ref)
 
-                def tri_extract(c, carry):
-                    lo_id = jnp.int32(SP) + c * esize
-                    in_chunk = ((best_id_v >= lo_id)
-                                & (best_id_v < lo_id + esize))
+                if cfg.mt == "mxu":
+                    # cluster-invariant (3, RT) ray matrices — ONE evaluation
+                    # per tile, not per visited cluster
+                    omat, dmat, oxd = _ray_mats(ray_ref, lanes)
 
-                    @pl.when(jnp.any(in_chunk))
+                def mt_cluster_mxu(s):
+                    """Möller–Trumbore for a whole cluster as three MXU
+                    contractions (shared _mt_mxu_pairs; only the fold tail
+                    differs per kernel)."""
+                    mo = 48 if textured else 32      # mxu-prep column offset
+                    sl = pl.ds(s, csize)
+                    t, ok = _mt_mxu_pairs(tri_ref, sl, mo, dmat, omat, oxd,
+                                          t_min)
+                    ids = (jax.lax.broadcasted_iota(jnp.int32, (csize, RT), 0)
+                           + (jnp.int32(SP) + s))
+                    _min_fold_refs(t, ok & alive, ids, bt_ref, bi_ref)
+
+                def tri_block(s):
+                    """MT on a whole cluster, in tri_rows-row sub-blocks: a
+                    (csize,RT) op is csize·RT/1024 vregs and MT keeps ~25-30
+                    temporaries live, far beyond the VPU register file — smaller
+                    sub-blocks keep live ranges register-resident (spill
+                    suspect 2.5 in docs/PERF_NOTES.md). Static Python loop →
+                    fully unrolled, no scalar-loop overhead. The "mxu" engine
+                    instead rides the cluster through the systolic array in one
+                    shot (KConfig.mt)."""
+                    if cfg.mt == "mxu":
+                        mt_cluster_mxu(s)
+                        return
+                    for r0 in range(0, csize, tri_sub):
+                        tri_rows(s + r0, tri_sub)
+
+                def cluster_prepass():
+                    """Vectorized slab test of ALL cluster AABBs at once → per-
+                    cluster enter flags, the span [first, last] of entering
+                    clusters, and the NEAREST entering cluster c0.
+
+                    One (C, RT) batch — no per-cluster scalar loads or branches,
+                    which otherwise cost as much as the culled triangle math.
+                    The span relies on Morton order making entering clusters (a
+                    compact tile frustum × a space-filling curve) contiguous.
+                    """
+                    C = clu_ref.shape[0]
+                    tn, tf = _slab_test(
+                        (clu_ref[:, 0:1], clu_ref[:, 1:2], clu_ref[:, 2:3]),
+                        (clu_ref[:, 3:4], clu_ref[:, 4:5], clu_ref[:, 5:6]),
+                        (ox, oy, oz), (invdx, invdy, invdz), t_min)  # (C, RT)
+                    # initial tightening: spheres already folded into best_t;
+                    # all-padding clusters pass the slab test vacuously (see
+                    # _cluster_aabbs) — mask them by the real-cluster count
+                    cidx = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+                    enter = ((tf >= tn) & alive & (tn < bt_ref[0:1, :])
+                             & (cidx < jnp.int32(n_real_clu)))
+                    flag = jnp.max(jnp.where(enter, 1, 0), axis=1, keepdims=True)
+                    flag_ref[:, :] = jnp.broadcast_to(flag, flag_ref.shape)
+                    first = jnp.min(jnp.where(flag > 0, cidx, C))
+                    last = jnp.max(jnp.where(flag > 0, cidx, -1))
+                    # nearest entering cluster = argmin of the tile-min entry
+                    # distance; the traversal spirals outward from it
+                    tn_tile = jnp.min(jnp.where(enter, tn, jnp.inf), axis=1,
+                                      keepdims=True)                 # (C, 1)
+                    c0 = jnp.min(jnp.where(tn_tile <= jnp.min(tn_tile), cidx, C))
+                    return first, last, jnp.minimum(c0, last)
+
+                def make_order_body(first, last, c0):
+                    def order_body(k, carry):
+                        # center-out visit order c0, c0+1, c0-1, c0+2, … — a
+                        # near-to-far proxy (Morton neighbors are spatial
+                        # neighbors), so early hits tighten best_t before far
+                        # clusters are re-tested, and the re-test culls them:
+                        # BVH-style early-out on a flat cluster array
+                        off = (k + 1) // 2
+                        c = c0 + jnp.where(k % 2 == 1, off, -off)
+
+                        @pl.when((c >= first) & (c <= last)
+                                 & (flag_ref[c, 0] > 0))
+                        def _():
+                            # re-test this cluster against the CURRENT best
+                            # before paying for its csize×RT MT tile
+                            tn, tf = _slab_test(
+                                (clu_ref[c, 0], clu_ref[c, 1], clu_ref[c, 2]),
+                                (clu_ref[c, 3], clu_ref[c, 4], clu_ref[c, 5]),
+                                (ox, oy, oz), (invdx, invdy, invdz), t_min)
+                            enter = (tf >= tn) & alive & (tn < bt_ref[0:1, :])
+
+                            @pl.when(jnp.any(enter))
+                            def _():
+                                tri_block(c * csize)
+                        return carry
+                    return order_body
+
+                def span_body(c, carry):
+                    # per-cluster flag read (one scalar) skips Morton-span slack
+                    @pl.when(flag_ref[c, 0] > 0)
                     def _():
-                        sl = pl.ds(c * esize, esize)
-                        ids = (jax.lax.broadcasted_iota(
-                            jnp.int32, (esize, RT), 0) + lo_id)
-                        ok = ids == best_id_v
-                        if cfg.extract == "mxu":
-                            # one one-hot contraction replaces the per-
-                            # column masked sums (see KConfig.extract);
-                            # slice to the merged-table width — the
-                            # mxu-prep tail columns (cfg.mt) are never
-                            # read from rows_all
-                            ew = 48 if textured else 32
-                            rows_all = jax.lax.dot_general(
-                                tri_ref[sl, 0:ew], ok.astype(jnp.float32),
-                                (((0,), (0,)), ((), ())),
-                                precision=jax.lax.Precision.HIGHEST,
-                                preferred_element_type=jnp.float32)
-                            for row, col in tri_map:
-                                acc_ref[row:row + 1, :] += \
-                                    rows_all[col:col + 1, :]
-                        else:
-                            for row, col in tri_map:
-                                acc_ref[row:row + 1, :] += jnp.sum(
-                                    jnp.where(ok, tri_ref[sl, col:col + 1],
-                                              0.0),
-                                    0, keepdims=True)
+                        tri_block(c * csize)
+                    return carry
+
+                def super_prepass():
+                    """Stage 1 of the two-level prepass (KConfig.supers): slab
+                    the few super AABBs at once → per-super flags + span. The
+                    member-cluster slabs run lazily inside super_body, only
+                    for entering supers."""
+                    SCr = sup_ref.shape[0]
+                    tn, tf = _slab_test(
+                        (sup_ref[:, 0:1], sup_ref[:, 1:2], sup_ref[:, 2:3]),
+                        (sup_ref[:, 3:4], sup_ref[:, 4:5], sup_ref[:, 5:6]),
+                        (ox, oy, oz), (invdx, invdy, invdz), t_min)  # (SCr, RT)
+                    sidx = jax.lax.broadcasted_iota(jnp.int32, (SCr, 1), 0)
+                    enter = ((tf >= tn) & alive & (tn < bt_ref[0:1, :])
+                             & (sidx < jnp.int32(n_real_super)))
+                    sflag = jnp.max(jnp.where(enter, 1, 0), axis=1,
+                                    keepdims=True)
+                    sup_flag_ref[:, :] = jnp.broadcast_to(sflag,
+                                                          sup_flag_ref.shape)
+                    sfirst = jnp.min(jnp.where(sflag > 0, sidx, SCr))
+                    slast = jnp.max(jnp.where(sflag > 0, sidx, -1))
+                    return sfirst, slast
+
+                def super_body(s_id, carry):
+                    @pl.when(sup_flag_ref[s_id, 0] > 0)
+                    def _():
+                        base = s_id * ss
+                        sl = pl.ds(pl.multiple_of(base, ss), ss)
+                        # stage 2: slab only this super's member clusters,
+                        # tightened by the best-t reached so far (earlier
+                        # supers' hits cull later ones — BVH-style early-out)
+                        tn, tf = _slab_test(
+                            (clu_ref[sl, 0:1], clu_ref[sl, 1:2],
+                             clu_ref[sl, 2:3]),
+                            (clu_ref[sl, 3:4], clu_ref[sl, 4:5],
+                             clu_ref[sl, 5:6]),
+                            (ox, oy, oz), (invdx, invdy, invdz), t_min)
+                        cidx = (jax.lax.broadcasted_iota(jnp.int32, (ss, 1), 0)
+                                + base)
+                        enter = ((tf >= tn) & alive & (tn < bt_ref[0:1, :])
+                                 & (cidx < jnp.int32(n_real_clu)))
+                        cflag = jnp.max(jnp.where(enter, 1, 0), axis=1,
+                                        keepdims=True)
+                        flag_ref[sl, :] = jnp.broadcast_to(
+                            cflag, (ss, flag_ref.shape[1]))
+                        for off in range(ss):
+                            @pl.when(flag_ref[base + off, 0] > 0)
+                            def _(off=off):
+                                tri_block((base + off) * csize)
+                    return carry
+
+                def nocull_body(c, carry):
+                    tri_block(c * csize)
                     return carry
 
                 @pl.when(jnp.any(alive))
                 def _():
+                    # fully-dead tiles (compacted wavefront tail) skip everything
                     if has_spheres:
-                        jax.lax.fori_loop(0, n_sph_chunks, sph_extract, 0)
-                    if has_tris:
-                        # restrict the chunk sweep to the winners' id range
-                        is_tw = (best_id_v >= SP) & (best_id_v < SP + TP)
-                        c_lo = (jnp.min(jnp.where(is_tw, best_id_v,
-                                                  SP + TP)) - SP) // esize
-                        c_hi = (jnp.max(jnp.where(is_tw, best_id_v, SP))
-                                - SP) // esize
-                        jax.lax.fori_loop(c_lo, c_hi + 1, tri_extract, 0)
+                        jax.lax.fori_loop(0, n_sph_chunks, sphere_chunk, 0)
+                    if not has_tris:
+                        return
+                    if cfg.traversal == "nocull":
+                        jax.lax.fori_loop(0, TP // csize, nocull_body, 0)
+                        return
+                    if ss:
+                        sfirst, slast = super_prepass()
+                        jax.lax.fori_loop(sfirst, slast + 1, super_body, 0)
+                        return
+                    first, last, c0 = cluster_prepass()
+                    if cfg.traversal == "centerout":
+                        n_steps = 2 * jnp.maximum(last - c0, c0 - first) + 1
+                        jax.lax.fori_loop(0, n_steps,
+                                          make_order_body(first, last, c0), 0)
+                    elif cfg.traversal == "prepassonly":
+                        pass    # ablation: no MT at all (results are wrong)
+                    else:  # "span": ascending flag-gated sweep, no re-test
+                        jax.lax.fori_loop(first, last + 1, span_body, 0)
 
+                if want_attrs:
+                    # ---- winner raw-row extraction (one-hot masked sums) -----
+                    # Emits the winner's merged-table row (intersect._pack_attrs
+                    # layout) VERBATIM from the plane columns — no in-kernel
+                    # recompute; the differentiable normal/UV/material math runs
+                    # outside (intersect.hit_attributes_from_rows), bit-identical
+                    # to the oracle because the rows are. Replaces the XLA
+                    # winner-gather (per-element gather cost on TPU dwarfs the
+                    # VPU math). Only chunks containing a winning id run;
+                    # coherent tiles touch few.
+                    best_id_v = bi_ref[0:1, :]
+
+                    def sph_extract(k, carry):
+                        sbase = k * tt_s
+                        ids = (jax.lax.broadcasted_iota(
+                            jnp.int32, (tt_s, RT), 0) + jnp.int32(sbase))
+                        ok = ids == best_id_v                        # (tt, RT)
+                        for row, col in sph_map:
+                            acc_ref[row:row + 1, :] += jnp.sum(
+                                jnp.where(ok, sph_ref[pl.ds(sbase, tt_s),
+                                                      col:col + 1], 0.0),
+                                0, keepdims=True)
+                        return carry
+
+                    # extraction chunk size is DECOUPLED from the cull cluster
+                    # size: finer culling clusters (cl32/cl64) would otherwise
+                    # shrink the one-hot contraction's K dim and multiply chunk
+                    # sweeps — the reason r3's sup16+cl32 lost whole-frame
+                    # despite winning intersect-only
+                    esize = 128 if TP % 128 == 0 else csize
+
+                    def tri_extract(c, carry):
+                        lo_id = jnp.int32(SP) + c * esize
+                        in_chunk = ((best_id_v >= lo_id)
+                                    & (best_id_v < lo_id + esize))
+
+                        @pl.when(jnp.any(in_chunk))
+                        def _():
+                            sl = pl.ds(c * esize, esize)
+                            ids = (jax.lax.broadcasted_iota(
+                                jnp.int32, (esize, RT), 0) + lo_id)
+                            ok = ids == best_id_v
+                            if cfg.extract == "mxu":
+                                # one one-hot contraction replaces the per-
+                                # column masked sums (see KConfig.extract);
+                                # slice to the merged-table width — the
+                                # mxu-prep tail columns (cfg.mt) are never
+                                # read from rows_all
+                                ew = 48 if textured else 32
+                                rows_all = jax.lax.dot_general(
+                                    tri_ref[sl, 0:ew], ok.astype(jnp.float32),
+                                    (((0,), (0,)), ((), ())),
+                                    precision=jax.lax.Precision.HIGHEST,
+                                    preferred_element_type=jnp.float32)
+                                for row, col in tri_map:
+                                    acc_ref[row:row + 1, :] += \
+                                        rows_all[col:col + 1, :]
+                            else:
+                                for row, col in tri_map:
+                                    acc_ref[row:row + 1, :] += jnp.sum(
+                                        jnp.where(ok, tri_ref[sl, col:col + 1],
+                                                  0.0),
+                                        0, keepdims=True)
+                        return carry
+
+                    @pl.when(jnp.any(alive))
+                    def _():
+                        if has_spheres:
+                            jax.lax.fori_loop(0, n_sph_chunks, sph_extract, 0)
+                        if has_tris:
+                            # restrict the chunk sweep to the winners' id range
+                            is_tw = (best_id_v >= SP) & (best_id_v < SP + TP)
+                            c_lo = (jnp.min(jnp.where(is_tw, best_id_v,
+                                                      SP + TP)) - SP) // esize
+                            c_hi = (jnp.max(jnp.where(is_tw, best_id_v, SP))
+                                    - SP) // esize
+                            jax.lax.fori_loop(c_lo, c_hi + 1, tri_extract, 0)
+
+
+            if want_attrs:
                 attr_out[:, lanes] = acc_ref[:, :]
 
             # output blocks are (8, ·) — sublane dim must be ≥8 on TPU — so
@@ -1791,156 +1804,162 @@ def _make_anyhit_kernel(SP: int, TP: int, t_min: float, t_max: float,
 
         def one_tile(L):
             lanes = pl.ds(pl.multiple_of(L, RT), RT)
-            ox, oy, oz = (ray_ref[0:1, lanes], ray_ref[1:2, lanes],
-                          ray_ref[2:3, lanes])
-            dx, dy, dz = (ray_ref[3:4, lanes], ray_ref[4:5, lanes],
-                          ray_ref[5:6, lanes])
-            alive = ray_ref[6:7, lanes] > 0.5
-            a_quad = dx * dx + dy * dy + dz * dz
-            invdx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
-            invdy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
-            invdz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
-
+            # whole-tile liveness gate (r4, same as the closest-hit
+            # kernel): dead shadow tiles skip loads + reciprocals too
+            alive_any = jnp.any(ray_ref[6:7, lanes] > 0.5)
             blk_ref[0:1, :] = jnp.zeros((1, RT), jnp.float32)
 
-            def sphere_chunk(k, carry):
-                s = k * tt_s
-                sl = pl.ds(s, tt_s)
-                t, ok = _sphere_pairs(
-                    (sph_ref[sl, 0:1], sph_ref[sl, 1:2], sph_ref[sl, 2:3]),
-                    sph_ref[sl, 3:4], (ox, oy, oz), (dx, dy, dz),
-                    a_quad, t_min)
-                hit = ok & (t < t_max) & (sph_ref[sl, 4:5] > 0.5) & alive
-                any_hit = jnp.max(jnp.where(hit, 1.0, 0.0), axis=0,
-                                  keepdims=True)
-                blk_ref[0:1, :] = jnp.maximum(blk_ref[0:1, :], any_hit)
-                return carry
+            @pl.when(alive_any)
+            def _run_tile():
+                ox, oy, oz = (ray_ref[0:1, lanes], ray_ref[1:2, lanes],
+                              ray_ref[2:3, lanes])
+                dx, dy, dz = (ray_ref[3:4, lanes], ray_ref[4:5, lanes],
+                              ray_ref[5:6, lanes])
+                alive = ray_ref[6:7, lanes] > 0.5
+                a_quad = dx * dx + dy * dy + dz * dz
+                invdx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
+                invdy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
+                invdz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
 
-            def tri_rows(s, rows):
-                sl = pl.ds(s, rows)
-                t, ok = _mt_pairs(
-                    (tri_ref[sl, 0:1], tri_ref[sl, 1:2], tri_ref[sl, 2:3]),
-                    (tri_ref[sl, 3:4], tri_ref[sl, 4:5], tri_ref[sl, 5:6]),
-                    (tri_ref[sl, 6:7], tri_ref[sl, 7:8], tri_ref[sl, 8:9]),
-                    (tri_ref[sl, 9:10], tri_ref[sl, 10:11],
-                     tri_ref[sl, 11:12]),
-                    (ox, oy, oz), (dx, dy, dz), t_min)
-                hit = ok & (t < t_max) & alive
-                any_hit = jnp.max(jnp.where(hit, 1.0, 0.0), axis=0,
-                                  keepdims=True)
-                blk_ref[0:1, :] = jnp.maximum(blk_ref[0:1, :], any_hit)
 
-            def prepass():
-                C = clu_ref.shape[0]
-                tn, tf = _slab_test(
-                    (clu_ref[:, 0:1], clu_ref[:, 1:2], clu_ref[:, 2:3]),
-                    (clu_ref[:, 3:4], clu_ref[:, 4:5], clu_ref[:, 5:6]),
-                    (ox, oy, oz), (invdx, invdy, invdz), t_min)
-                # the shadow segment ends at t_max: clusters entirely
-                # beyond it can't block; all-padding clusters are masked
-                # by the real count (vacuous slab pass, _cluster_aabbs)
-                cidx = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
-                enter = ((tf >= tn) & (tn < t_max) & alive
-                         & (cidx < jnp.int32(n_real_clu)))
-                flag = jnp.max(jnp.where(enter, 1, 0), axis=1, keepdims=True)
-                flag_ref[:, :] = jnp.broadcast_to(flag, flag_ref.shape)
-                first = jnp.min(jnp.where(flag > 0, cidx, C))
-                last = jnp.max(jnp.where(flag > 0, cidx, -1))
-                return first, last
+                def sphere_chunk(k, carry):
+                    s = k * tt_s
+                    sl = pl.ds(s, tt_s)
+                    t, ok = _sphere_pairs(
+                        (sph_ref[sl, 0:1], sph_ref[sl, 1:2], sph_ref[sl, 2:3]),
+                        sph_ref[sl, 3:4], (ox, oy, oz), (dx, dy, dz),
+                        a_quad, t_min)
+                    hit = ok & (t < t_max) & (sph_ref[sl, 4:5] > 0.5) & alive
+                    any_hit = jnp.max(jnp.where(hit, 1.0, 0.0), axis=0,
+                                      keepdims=True)
+                    blk_ref[0:1, :] = jnp.maximum(blk_ref[0:1, :], any_hit)
+                    return carry
 
-            if cfg.mt == "mxu":
-                omat, dmat, oxd = _ray_mats(ray_ref, lanes)
+                def tri_rows(s, rows):
+                    sl = pl.ds(s, rows)
+                    t, ok = _mt_pairs(
+                        (tri_ref[sl, 0:1], tri_ref[sl, 1:2], tri_ref[sl, 2:3]),
+                        (tri_ref[sl, 3:4], tri_ref[sl, 4:5], tri_ref[sl, 5:6]),
+                        (tri_ref[sl, 6:7], tri_ref[sl, 7:8], tri_ref[sl, 8:9]),
+                        (tri_ref[sl, 9:10], tri_ref[sl, 10:11],
+                         tri_ref[sl, 11:12]),
+                        (ox, oy, oz), (dx, dy, dz), t_min)
+                    hit = ok & (t < t_max) & alive
+                    any_hit = jnp.max(jnp.where(hit, 1.0, 0.0), axis=0,
+                                      keepdims=True)
+                    blk_ref[0:1, :] = jnp.maximum(blk_ref[0:1, :], any_hit)
 
-            def mt_cluster_mxu(s):
-                """Any-hit MT via the shared MXU engine (_mt_mxu_pairs);
-                blocking test instead of fold."""
-                sl = pl.ds(s, csize)
-                t, ok = _mt_mxu_pairs(tri_ref, sl, 32, dmat, omat, oxd,
-                                      t_min)
-                hit = ok & (t < t_max) & alive
-                any_hit = jnp.max(jnp.where(hit, 1.0, 0.0), axis=0,
-                                  keepdims=True)
-                blk_ref[0:1, :] = jnp.maximum(blk_ref[0:1, :], any_hit)
-
-            def tri_cluster(s):
-                if cfg.mt == "mxu":
-                    mt_cluster_mxu(s)
-                    return
-                for r0 in range(0, csize, tri_sub):
-                    tri_rows(s + r0, tri_sub)
-
-            def span_body(c, carry):
-                # early-exit: once every live lane is blocked, remaining
-                # clusters are skipped (the any-hit advantage)
-                settled = jnp.all((blk_ref[0:1, :] > 0.5) | ~alive)
-
-                @pl.when((flag_ref[c, 0] > 0) & ~settled)
-                def _():
-                    tri_cluster(c * csize)
-                return carry
-
-            def super_prepass():
-                SCr = sup_ref.shape[0]
-                tn, tf = _slab_test(
-                    (sup_ref[:, 0:1], sup_ref[:, 1:2], sup_ref[:, 2:3]),
-                    (sup_ref[:, 3:4], sup_ref[:, 4:5], sup_ref[:, 5:6]),
-                    (ox, oy, oz), (invdx, invdy, invdz), t_min)
-                sidx = jax.lax.broadcasted_iota(jnp.int32, (SCr, 1), 0)
-                enter = ((tf >= tn) & (tn < t_max) & alive
-                         & (sidx < jnp.int32(n_real_super)))
-                sflag = jnp.max(jnp.where(enter, 1, 0), axis=1,
-                                keepdims=True)
-                sup_flag_ref[:, :] = jnp.broadcast_to(sflag,
-                                                      sup_flag_ref.shape)
-                sfirst = jnp.min(jnp.where(sflag > 0, sidx, SCr))
-                slast = jnp.max(jnp.where(sflag > 0, sidx, -1))
-                return sfirst, slast
-
-            def super_body(s_id, carry):
-                settled_s = jnp.all((blk_ref[0:1, :] > 0.5) | ~alive)
-
-                @pl.when((sup_flag_ref[s_id, 0] > 0) & ~settled_s)
-                def _():
-                    base = s_id * ss
-                    sl = pl.ds(pl.multiple_of(base, ss), ss)
+                def prepass():
+                    C = clu_ref.shape[0]
                     tn, tf = _slab_test(
-                        (clu_ref[sl, 0:1], clu_ref[sl, 1:2],
-                         clu_ref[sl, 2:3]),
-                        (clu_ref[sl, 3:4], clu_ref[sl, 4:5],
-                         clu_ref[sl, 5:6]),
+                        (clu_ref[:, 0:1], clu_ref[:, 1:2], clu_ref[:, 2:3]),
+                        (clu_ref[:, 3:4], clu_ref[:, 4:5], clu_ref[:, 5:6]),
                         (ox, oy, oz), (invdx, invdy, invdz), t_min)
-                    cidx = (jax.lax.broadcasted_iota(jnp.int32, (ss, 1), 0)
-                            + base)
+                    # the shadow segment ends at t_max: clusters entirely
+                    # beyond it can't block; all-padding clusters are masked
+                    # by the real count (vacuous slab pass, _cluster_aabbs)
+                    cidx = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
                     enter = ((tf >= tn) & (tn < t_max) & alive
                              & (cidx < jnp.int32(n_real_clu)))
-                    cflag = jnp.max(jnp.where(enter, 1, 0), axis=1,
-                                    keepdims=True)
-                    flag_ref[sl, :] = jnp.broadcast_to(
-                        cflag, (ss, flag_ref.shape[1]))
-                    for off in range(ss):
-                        settled_c = jnp.all((blk_ref[0:1, :] > 0.5)
-                                            | ~alive)
+                    flag = jnp.max(jnp.where(enter, 1, 0), axis=1, keepdims=True)
+                    flag_ref[:, :] = jnp.broadcast_to(flag, flag_ref.shape)
+                    first = jnp.min(jnp.where(flag > 0, cidx, C))
+                    last = jnp.max(jnp.where(flag > 0, cidx, -1))
+                    return first, last
 
-                        @pl.when((flag_ref[base + off, 0] > 0)
-                                 & ~settled_c)
-                        def _(off=off):
-                            tri_cluster((base + off) * csize)
-                return carry
+                if cfg.mt == "mxu":
+                    omat, dmat, oxd = _ray_mats(ray_ref, lanes)
 
-            @pl.when(jnp.any(alive))
-            def _():
-                if has_spheres:
-                    jax.lax.fori_loop(0, n_sph_chunks, sphere_chunk, 0)
-                if n_real_clu > 0:
-                    @pl.when(jnp.any(alive & ~(blk_ref[0:1, :] > 0.5)))
+                def mt_cluster_mxu(s):
+                    """Any-hit MT via the shared MXU engine (_mt_mxu_pairs);
+                    blocking test instead of fold."""
+                    sl = pl.ds(s, csize)
+                    t, ok = _mt_mxu_pairs(tri_ref, sl, 32, dmat, omat, oxd,
+                                          t_min)
+                    hit = ok & (t < t_max) & alive
+                    any_hit = jnp.max(jnp.where(hit, 1.0, 0.0), axis=0,
+                                      keepdims=True)
+                    blk_ref[0:1, :] = jnp.maximum(blk_ref[0:1, :], any_hit)
+
+                def tri_cluster(s):
+                    if cfg.mt == "mxu":
+                        mt_cluster_mxu(s)
+                        return
+                    for r0 in range(0, csize, tri_sub):
+                        tri_rows(s + r0, tri_sub)
+
+                def span_body(c, carry):
+                    # early-exit: once every live lane is blocked, remaining
+                    # clusters are skipped (the any-hit advantage)
+                    settled = jnp.all((blk_ref[0:1, :] > 0.5) | ~alive)
+
+                    @pl.when((flag_ref[c, 0] > 0) & ~settled)
                     def _():
-                        if ss:
-                            sfirst, slast = super_prepass()
-                            jax.lax.fori_loop(sfirst, slast + 1,
-                                              super_body, 0)
-                        else:
-                            first, last = prepass()
-                            jax.lax.fori_loop(first, last + 1, span_body, 0)
+                        tri_cluster(c * csize)
+                    return carry
+
+                def super_prepass():
+                    SCr = sup_ref.shape[0]
+                    tn, tf = _slab_test(
+                        (sup_ref[:, 0:1], sup_ref[:, 1:2], sup_ref[:, 2:3]),
+                        (sup_ref[:, 3:4], sup_ref[:, 4:5], sup_ref[:, 5:6]),
+                        (ox, oy, oz), (invdx, invdy, invdz), t_min)
+                    sidx = jax.lax.broadcasted_iota(jnp.int32, (SCr, 1), 0)
+                    enter = ((tf >= tn) & (tn < t_max) & alive
+                             & (sidx < jnp.int32(n_real_super)))
+                    sflag = jnp.max(jnp.where(enter, 1, 0), axis=1,
+                                    keepdims=True)
+                    sup_flag_ref[:, :] = jnp.broadcast_to(sflag,
+                                                          sup_flag_ref.shape)
+                    sfirst = jnp.min(jnp.where(sflag > 0, sidx, SCr))
+                    slast = jnp.max(jnp.where(sflag > 0, sidx, -1))
+                    return sfirst, slast
+
+                def super_body(s_id, carry):
+                    settled_s = jnp.all((blk_ref[0:1, :] > 0.5) | ~alive)
+
+                    @pl.when((sup_flag_ref[s_id, 0] > 0) & ~settled_s)
+                    def _():
+                        base = s_id * ss
+                        sl = pl.ds(pl.multiple_of(base, ss), ss)
+                        tn, tf = _slab_test(
+                            (clu_ref[sl, 0:1], clu_ref[sl, 1:2],
+                             clu_ref[sl, 2:3]),
+                            (clu_ref[sl, 3:4], clu_ref[sl, 4:5],
+                             clu_ref[sl, 5:6]),
+                            (ox, oy, oz), (invdx, invdy, invdz), t_min)
+                        cidx = (jax.lax.broadcasted_iota(jnp.int32, (ss, 1), 0)
+                                + base)
+                        enter = ((tf >= tn) & (tn < t_max) & alive
+                                 & (cidx < jnp.int32(n_real_clu)))
+                        cflag = jnp.max(jnp.where(enter, 1, 0), axis=1,
+                                        keepdims=True)
+                        flag_ref[sl, :] = jnp.broadcast_to(
+                            cflag, (ss, flag_ref.shape[1]))
+                        for off in range(ss):
+                            settled_c = jnp.all((blk_ref[0:1, :] > 0.5)
+                                                | ~alive)
+
+                            @pl.when((flag_ref[base + off, 0] > 0)
+                                     & ~settled_c)
+                            def _(off=off):
+                                tri_cluster((base + off) * csize)
+                    return carry
+
+                @pl.when(jnp.any(alive))
+                def _():
+                    if has_spheres:
+                        jax.lax.fori_loop(0, n_sph_chunks, sphere_chunk, 0)
+                    if n_real_clu > 0:
+                        @pl.when(jnp.any(alive & ~(blk_ref[0:1, :] > 0.5)))
+                        def _():
+                            if ss:
+                                sfirst, slast = super_prepass()
+                                jax.lax.fori_loop(sfirst, slast + 1,
+                                                  super_body, 0)
+                            else:
+                                first, last = prepass()
+                                jax.lax.fori_loop(first, last + 1, span_body, 0)
 
             out[:, lanes] = jnp.broadcast_to(blk_ref[0:1, :], (8, RT))
 
