@@ -270,7 +270,6 @@ def trace(scene: Scene, o, d, state, params: RenderParams):
             # BSDF-found emission on lanes that just did NEE.
             state, ls = sample_lights(light_table, scene, state, h.point)
             wi_unit = ls["wi"] / jnp.maximum(ls["dist"], 1e-12)[:, None]
-            cos_s = jnp.sum(wi_unit * h.normal, axis=-1)
             # No NEE at the deepest vertex: its direct term stands in for
             # the NEXT BSDF segment, which the depth budget would never
             # trace — sampling it would add a bounce of light the
@@ -290,7 +289,17 @@ def trace(scene: Scene, o, d, state, params: RenderParams):
             nee_material = h.smoothness < params.nee_smoothness_cutoff
             attempted = (active_hit & ~is_dielectric & nee_material
                          & not_last & light_table.has_lights)
-            nee_lane = attempted & ls["ok"] & (cos_s > 0.0)
+            # NO shading-side cos gate here (r4 bias fix): the implicit
+            # BRDF is albedo * p_lobe(omega) and p_lobe (pdf_l below) is
+            # the EXACT reachability — it already vanishes where the lerp
+            # lobe can't go. A cos(shading normal) > 0 gate is only valid
+            # for physical BRDFs; the reference's hand-authored room
+            # normals tilt AWAY from the light on whole walls while the
+            # lobe (via its reflect component) still reaches it — the
+            # gate zeroed NEE there while suppressing/down-weighting the
+            # live BSDF path: measured 7% total image energy loss on the
+            # room scene, both with and without MIS (tests pin the fix).
+            nee_lane = attempted & ls["ok"]
             blocked = occluded(scene, h.point, ls["wi"], t_min=params.t_min,
                                backend=params.backend, alive=nee_lane)
             unit_in = d / jnp.maximum(

@@ -360,3 +360,26 @@ def test_mis_with_compaction_bitexact():
                                 base.replace(compaction="octant"),
                                 jnp.int32(0)))
     np.testing.assert_array_equal(a, b)
+
+
+def test_nee_unbiased_on_room_quirk_normals():
+    """r4 bias regression: the room's hand-authored shading normals tilt
+    AWAY from the ceiling light on whole walls while the reference's lerp
+    lobe still reaches it. A shading-side cos>0 gate zeroed NEE there
+    while suppressing (or MIS-down-weighting) the live BSDF path —
+    measured 7% total image energy loss, identical with and without MIS.
+    NEE (both estimators) must match BSDF-only on the converged room."""
+    from ray_tracer_tpu.renderer import render_progressive
+
+    scene, cam = rt.builtin_scene("room", aspect=1.0)
+    basis = rt.camera_basis(cam)
+    base = rt.RenderParams(width=24, height=24, bounces=2, skybox=False,
+                           backend="jnp")
+    means = {}
+    for key, kw in (("off", {}), ("mis", dict(nee=True)),
+                    ("sup", dict(nee=True, mis=False))):
+        img = np.asarray(render_progressive(scene, basis,
+                                            base.replace(**kw), 400))
+        means[key] = float(img.mean())
+    assert abs(means["mis"] / means["off"] - 1.0) < 0.02, means
+    assert abs(means["sup"] / means["off"] - 1.0) < 0.02, means
