@@ -299,15 +299,18 @@ def trace(scene: Scene, o, d, state, params: RenderParams):
             # gate zeroed NEE there while suppressing/down-weighting the
             # live BSDF path: measured 7% total image energy loss on the
             # room scene, both with and without MIS (tests pin the fix).
-            nee_lane = attempted & ls["ok"]
-            blocked = occluded(scene, h.point, ls["wi"], t_min=params.t_min,
-                               backend=params.backend, alive=nee_lane)
             unit_in = d / jnp.maximum(
                 jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
             refl = materials.reflect(unit_in, h.normal)
             pdf_l = glossy_mix_pdf(wi_unit, refl, h.normal,
                                    jnp.clip(h.smoothness, 0.0, 1.0),
                                    params.cosine_sampling)
+            # pdf_l == 0 lanes contribute zero whatever the occlusion —
+            # keep them out of the any-hit query so their shadow lanes
+            # (and on coherent tiles, whole shadow TILES) go dead
+            nee_lane = attempted & ls["ok"] & (pdf_l > 0.0)
+            blocked = occluded(scene, h.point, ls["wi"], t_min=params.t_min,
+                               backend=params.backend, alive=nee_lane)
             brdf = albedo * pdf_l[:, None]
             direct = brdf * ls["radiance"] * ls["inv_pdf_w"][:, None]
             if params.mis:
