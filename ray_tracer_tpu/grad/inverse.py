@@ -111,14 +111,17 @@ def chunked_mse_value_and_grad(trainable, render_pixels_fn, params,
     """value_and_grad of ``mean((render - target)**2)`` accumulated over
     sequential pixel chunks — bounds backward-pass memory by ~1/chunks.
 
-    Why this exists: on TPU every per-ray (R, 3)/(R, 1) residual the
-    backward saves is lane-padded to (R, 128) by the (8, 128) tile layout
-    (42-128x waste), so a whole-frame 1080p gradient wants ~32 GB of HBM
-    (measured r3: 20 temps of 1.01 GB each, 7.9 MB unpadded). Running
-    fwd+bwd per chunk inside a lax.scan and summing the scene cotangents
-    keeps only one chunk's residuals live; gradients are identical up to
-    fp summation order (each pixel's radiance depends only on its own
-    pixel id — sampling is seeded per pixel, not per array slot).
+    Why this exists: bounds backward-pass HBM for frames/scenes past what
+    a whole-frame gradient fits. (History: through r3 the whole-frame
+    1080p backward demanded ~32 GB from lane-padded residuals and this
+    chunking was REQUIRED; the r4 component-wise recompute + SoA scatter
+    removed that pathology — a whole-frame 1080p gradient now runs in
+    ~254 ms on v5e, so chunking is only needed well beyond 1080p. See
+    docs/PERF_NOTES.md "r4 backward ablations".) Running fwd+bwd per
+    chunk inside a lax.scan and summing the scene cotangents keeps only
+    one chunk's residuals live; gradients are identical up to fp
+    summation order (each pixel's radiance depends only on its own pixel
+    id — sampling is seeded per pixel, not per array slot).
 
     ``render_pixels_fn(trainable, pixel_ids) -> (N, 3)`` radiance.
     """
@@ -174,8 +177,9 @@ def make_train_step(params: RenderParams, optimizer=None, mesh=None,
     sees only shading changes, not silhouette motion.
 
     ``grad_chunks > 1`` accumulates the gradient over sequential pixel
-    chunks (chunked_mse_value_and_grad) — required for large frames on
-    real HBM (a whole-frame 1080p backward OOMs, see that docstring).
+    chunks (chunked_mse_value_and_grad) — for frames/scenes beyond what
+    a whole-frame backward fits in HBM (since r4 a whole-frame 1080p
+    gradient fits; see that docstring).
     With ``mesh`` it composes: each device scans ``grad_chunks`` chunks
     of its own pixel shard and ONE psum all-reduces the cotangents
     (sharded_chunked_mse_value_and_grad — BASELINE config 5's multi-host
