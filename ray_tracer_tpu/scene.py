@@ -249,7 +249,14 @@ class SceneBuilder:
         ntexid = scalar_cat("ntex", np.int32)
 
         if sort_tris and T > 1:
-            order = _morton_order((v0 + v1 + v2) / 3.0)
+            # default "median": recursive median-split ordering — chunk
+            # AABBs are BVH-leaf quality (see _median_split_order; A/B'd
+            # on hardware vs "morton", the r1-r3 default, kept as a knob)
+            import os
+            mode = os.environ.get("RTT_TRI_ORDER", "median")
+            cen = (v0 + v1 + v2) / 3.0
+            order = (_morton_order(cen) if mode == "morton"
+                     else _median_split_order(cen))
             v0, v1, v2 = v0[order], v1[order], v2[order]
             n0, n1, n2 = n0[order], n1[order], n2[order]
             uv0, uv1, uv2 = uv0[order], uv1[order], uv2[order]
@@ -309,6 +316,40 @@ class SceneBuilder:
             num_spheres=S, num_tris=T, num_textures=len(self.textures),
             num_normal_maps=int((ntexid_p >= 0).sum()),
         )
+
+
+def _median_split_order(centroids: np.ndarray, leaf: int = 64) -> np.ndarray:
+    """Recursive widest-axis median-split ordering of triangle centroids.
+
+    Consecutive ``leaf``-sized chunks of the result are spatially TIGHT,
+    BVH-leaf-quality clusters — unlike fixed-size chunks of a Morton
+    curve, whose AABBs straddle curve jumps — and consecutive groups of
+    chunks approximate subtrees, so the kernels' two-level (supers ->
+    clusters) prepass inherits BVH-interior-quality boxes too. Splits land
+    on multiples of ``leaf`` nearest the median so every chunk except the
+    last is exactly ``leaf`` triangles (the kernels' cluster size).
+    Host-side, order-only: images are unchanged (primitive renaming)."""
+    c = np.asarray(centroids, np.float64)
+    n = c.shape[0]
+    out = np.empty(n, np.int64)
+    pos = 0
+    # explicit stack, left-first DFS = final in-order layout
+    stack = [np.arange(n)]
+    while stack:
+        idx = stack.pop()
+        if idx.shape[0] <= leaf:
+            out[pos:pos + idx.shape[0]] = idx
+            pos += idx.shape[0]
+            continue
+        ext = c[idx].max(0) - c[idx].min(0)
+        ax = int(np.argmax(ext))
+        m = int(round((idx.shape[0] / 2) / leaf)) * leaf
+        m = min(max(m, leaf), idx.shape[0] - 1)
+        part = np.argpartition(c[idx, ax], m)
+        # push right first so the left half pops (and lands) first
+        stack.append(idx[part[m:]])
+        stack.append(idx[part[:m]])
+    return out
 
 
 def _morton_order(centroids: np.ndarray) -> np.ndarray:
