@@ -39,6 +39,20 @@ def main():
             * (params.bounces + 1) * FRAMES)
     log(f"workload {params.width}x{params.height} frames={FRAMES}")
 
+    # UNTIMED warm-up (r4): the first spec of a sweep used to measure
+    # 15-40% slow (first-contact transfers / autotune / clock ramp) —
+    # three r4 sweeps put the same defaults at 117.2, 176.5 and 140.3
+    # ms/f when first, 99-103 when bracketed. Never compare spec #1 of a
+    # cold sweep without this.
+    try:
+        np.asarray(render_progressive(scene, basis, params, FRAMES))
+        np.asarray(render_progressive(scene, basis, params, FRAMES))
+    except Exception as e:  # noqa: BLE001
+        log(f"warm-up failed: {type(e).__name__}: {str(e)[:120]}")
+    import jax as _jax
+    _jax.clear_caches()
+    log("warm-up done")
+
     for spec in SPECS:
         # Save prior values so finally can RESTORE them (a repeated knob
         # in one spec, or a pre-existing RTT_* var, must not corrupt the
