@@ -131,13 +131,17 @@ class KConfig(NamedTuple):
     # ~12 MB keeps the teapot (15,744 padded tris = 8 MB of lane-padded
     # planes) on the resident fast path; anything bigger streams
     vmem_tri_budget: int = 12 << 20
-    # rays per grid step on the STREAMING path. The whole scene is
-    # re-DMA'd once per ray step (total traffic = n_ray_steps × planes
-    # bytes), so big steps are essential: at 192k tris, 512-ray steps
-    # move ~400 GB/launch (measured 2.4 s/frame) while 8192-ray steps
-    # move ~25 GB. Tiles inside a step ride a dynamic fori_loop (not a
+    # rays per grid step on the STREAMING path. Without block lists the
+    # whole scene re-DMAs once per ray step, so big steps are essential
+    # (512-ray steps moved ~400 GB/launch at 192k tris, measured 2.4
+    # s/frame). WITH the per-step block lists (default) the tradeoff
+    # inverts partway: a smaller step is a tighter frustum for the list,
+    # so fewer blocks enter per step — r4 sweep at 192k tris with
+    # median-split ordering: 2048 -> 178.2, 4096 -> 170.2-170.4,
+    # 8192 -> 180.4-180.7 ms/f (bracketed); 16384 kills the Mosaic
+    # compile. Tiles inside a step ride a dynamic fori_loop (not a
     # static unroll) to keep Mosaic compile time flat.
-    blocked_step: int = 8192
+    blocked_step: int = 4096
     # Winner-row extraction flavor in the RESIDENT kernel: "sum" = one
     # masked sum per merged-table column (26|40 VPU reductions per winner
     # chunk); "mxu" = ONE one-hot contraction  planesᵀ(TW, csize) @
