@@ -864,11 +864,19 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
                 jnp.where(best_id == BIG_ID, jnp.int32(0), best_id),
                 (8, RT))
 
-        def tile_body(j, carry):
-            one_tile(j * RT)
-            return carry
+        if cfg.step_tiles <= 2:
+            # static unroll: constant lane offsets lower to static slices
+            # (cheaper scalar addressing, cross-tile pipelining); bounded
+            # at 2 because trace/lowering time scales with the unroll
+            # (measured 40 s -> 200+ s at step_tiles=4)
+            for _j in range(cfg.step_tiles):
+                one_tile(_j * RT)
+        else:
+            def tile_body(j, carry):
+                one_tile(j * RT)
+                return carry
 
-        jax.lax.fori_loop(0, cfg.step_tiles, tile_body, 0)
+            jax.lax.fori_loop(0, cfg.step_tiles, tile_body, 0)
 
     return kernel
 
@@ -1967,11 +1975,19 @@ def _make_anyhit_kernel(SP: int, TP: int, t_min: float, t_max: float,
 
             out[:, lanes] = jnp.broadcast_to(blk_ref[0:1, :], (8, RT))
 
-        def tile_body(j, carry):
-            one_tile(j * RT)
-            return carry
+        if cfg.step_tiles <= 2:
+            # static unroll: constant lane offsets lower to static slices
+            # (cheaper scalar addressing, cross-tile pipelining); bounded
+            # at 2 because trace/lowering time scales with the unroll
+            # (measured 40 s -> 200+ s at step_tiles=4)
+            for _j in range(cfg.step_tiles):
+                one_tile(_j * RT)
+        else:
+            def tile_body(j, carry):
+                one_tile(j * RT)
+                return carry
 
-        jax.lax.fori_loop(0, cfg.step_tiles, tile_body, 0)
+            jax.lax.fori_loop(0, cfg.step_tiles, tile_body, 0)
 
     return kernel
 
