@@ -34,9 +34,18 @@ from .utils.config import RenderParams
 
 
 class Viewer:
-    """Progressive interactive viewer around a Renderer."""
+    """Progressive interactive viewer around a Renderer.
 
-    def __init__(self, scene, camera, params: RenderParams, scene_id=None):
+    ``widgets=True`` (default) adds an on-screen control panel — the
+    visual counterpart of the reference's imgui slider/checkbox tree
+    (src/core/context.rs:230-258): sliders for bounces, rays/pixel,
+    focus distance and aperture, checkboxes for skybox/accumulate/
+    denoise, and a scene radio group. Panel callbacks drive the exact
+    same state transitions as the key bindings.
+    """
+
+    def __init__(self, scene, camera, params: RenderParams, scene_id=None,
+                 widgets: bool = True):
         import matplotlib
         import matplotlib.pyplot as plt
 
@@ -51,11 +60,16 @@ class Viewer:
         from .utils.metrics import FrameClock
         self.clock = FrameClock()
 
-        self.fig, self.ax = plt.subplots(
-            figsize=(params.width / 100, params.height / 100))
+        pw = params.width / 100
+        self.fig = plt.figure(
+            figsize=(pw * (1.45 if widgets else 1.0), params.height / 100))
+        # image fills the left region; the right strip hosts the panel
+        self.ax = self.fig.add_axes((0.0, 0.0, 0.69 if widgets else 1.0, 1.0))
         self.ax.set_axis_off()
-        self.fig.subplots_adjust(0, 0, 1, 1)
         self.im = None
+        self._widgets = {}
+        if widgets:
+            self._build_widgets()
         self.fig.canvas.mpl_connect("key_press_event", self._on_key)
         self.fig.canvas.mpl_connect("scroll_event", self._on_scroll)
         self.fig.canvas.mpl_connect("button_press_event", self._on_press)
@@ -63,6 +77,79 @@ class Viewer:
         self.fig.canvas.mpl_connect("motion_notify_event", self._on_motion)
         self.fig.canvas.mpl_connect("close_event", lambda e: self._stop())
         self.fig.canvas.mpl_connect("resize_event", self._on_resize)
+
+    # -- widget panel (imgui tree analog, context.rs:230-258) -------------
+
+    def _build_widgets(self):
+        """On-screen sliders/checkboxes/radio — same knob set and ranges as
+        the imgui widget tree (context.rs:250-258), same state transitions
+        as the key bindings. One-way (panel → renderer): the key bindings
+        remain authoritative and don't echo back into the widgets."""
+        from matplotlib.widgets import CheckButtons, RadioButtons, Slider
+
+        p = self.renderer.params
+        cam = self.renderer.camera
+        x, w = 0.78, 0.17
+
+        def slider_ax(i):
+            return self.fig.add_axes((x, 0.92 - i * 0.07, w, 0.04))
+
+        s_bounce = Slider(slider_ax(0), "bounces", 0, 8,
+                          valinit=p.bounces, valstep=1)
+        s_rpp = Slider(slider_ax(1), "rays/px", 1, 8,
+                       valinit=p.rays_per_pixel, valstep=1)
+        # imgui slider ranges: focus 0..10, aperture -2..2 (context.rs:254-255)
+        s_focus = Slider(slider_ax(2), "focus", 0.0, 10.0,
+                         valinit=float(cam.focus_dist))
+        s_apert = Slider(slider_ax(3), "aperture", -2.0, 2.0,
+                         valinit=float(cam.aperture))
+
+        s_bounce.on_changed(lambda v: self.renderer.set_params(
+            self.renderer.params.replace(bounces=int(v))))
+        s_rpp.on_changed(lambda v: self.renderer.set_params(
+            self.renderer.params.replace(rays_per_pixel=int(v))))
+        s_focus.on_changed(lambda v: self.renderer.set_camera(
+            self.renderer.camera.replace(focus_dist=float(v))))
+        s_apert.on_changed(lambda v: self.renderer.set_camera(
+            self.renderer.camera.replace(aperture=float(v))))
+
+        checks_ax = self.fig.add_axes((x, 0.42, w, 0.2))
+        checks_ax.set_axis_off()
+        checks = CheckButtons(checks_ax, ["skybox", "accumulate", "denoise"],
+                              [p.skybox, p.accumulate, bool(self.denoise)])
+
+        def on_check(label):
+            pp = self.renderer.params
+            if label == "skybox":
+                self.renderer.set_params(pp.replace(skybox=not pp.skybox))
+            elif label == "accumulate":
+                self.renderer.set_params(
+                    pp.replace(accumulate=not pp.accumulate))
+            else:
+                self.denoise = 0 if self.denoise else 3
+        checks.on_clicked(on_check)
+
+        radio_ax = self.fig.add_axes((x, 0.1, w, 0.26))
+        radio_ax.set_title("scene", fontsize=7)
+        radio_ax.set_axis_off()
+        names = [SCENE_IDS[i] for i in sorted(SCENE_IDS)]
+        radio = RadioButtons(
+            radio_ax, names,
+            active=self.scene_id if self.scene_id is not None else 0)
+
+        def on_scene(label):
+            sid = names.index(label)
+            scene, cam2 = builtin_scene(
+                sid, aspect=self.renderer.params.aspect)
+            self.renderer.set_scene(scene)
+            self.renderer.set_camera(cam2)
+            self.scene_id = sid
+        radio.on_clicked(on_scene)
+
+        # keep references alive (matplotlib widgets are GC'd otherwise)
+        self._widgets = {"bounces": s_bounce, "rpp": s_rpp, "focus": s_focus,
+                         "aperture": s_apert, "checks": checks,
+                         "scene": radio}
 
     # -- input routing (Context::input analog, context.rs:148-175) --------
 

