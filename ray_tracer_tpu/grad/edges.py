@@ -119,7 +119,8 @@ def _lookup_cot(cot_image, pix, width, height):
 def boundary_gradients(scene: Scene, basis: CameraBasis, params: RenderParams,
                        cot_image, key, n_tri_samples: int = 4096,
                        n_sph_samples: int = 4096,
-                       eps_px: float = 0.05) -> Dict[str, jax.Array]:
+                       eps_px: float = 0.05,
+                       topology=None) -> Dict[str, jax.Array]:
     """Monte-Carlo boundary-term gradients.
 
     Args:
@@ -127,6 +128,19 @@ def boundary_gradients(scene: Scene, basis: CameraBasis, params: RenderParams,
       key: jax PRNG key (edge sampling is independent of the render RNG).
       n_tri_samples / n_sph_samples: MC sample counts (0 disables a family).
       eps_px: side-ray offset in pixels.
+      topology: optional grad.topology.MeshTopology. STRONGLY recommended
+        for meshes with shared edges: switches edge sampling from
+        uniform-over-(tri, corner)-slots — which double-counts every
+        interior edge (two slots per physical edge) and spends ~all samples
+        on zero-contribution interior edges — to importance sampling over
+        PHYSICAL edges classified as candidates per step: silhouette
+        (front/back flip between adjacent faces, from the pinhole origin —
+        exact at aperture 0, approximate near lens-dependent silhouettes),
+        boundary (one adjacent face), or crease (shading-normal split),
+        weighted by projected image length. Gradients are written to the
+        representative (triangle, corner) slots; pull them back to unique
+        vertices with topology.pull_back_vertex_grads when optimizing a
+        vertex field.
 
     Returns dict with keys tri_v0, tri_v1, tri_v2, sphere_center,
     sphere_radius — shaped like the scene fields, zeros where inapplicable.
@@ -177,15 +191,62 @@ def boundary_gradients(scene: Scene, basis: CameraBasis, params: RenderParams,
     TP = scene.padded_tris
     if n_tri_samples > 0 and scene.num_tris > 0:
         ke, kt = jax.random.split(k_tri)
-        n_edges = 3 * TP
-        eid = jax.random.randint(ke, (n_tri_samples,), 0, n_edges)
-        tparam = jax.random.uniform(kt, (n_tri_samples,))
-        tri = eid // 3
-        edge = eid % 3
         verts = jnp.stack([scene_d.tri_v0, scene_d.tri_v1, scene_d.tri_v2], 1)
-        va = verts[tri, edge]
-        vb = verts[tri, (edge + 1) % 3]
-        valid = scene_d.tri_valid[tri] > 0.5
+        if topology is not None:
+            topo = topology
+            va_all = verts[topo.edge_tri, topo.edge_k]            # (E, 3)
+            vb_all = verts[topo.edge_tri, (topo.edge_k + 1) % 3]
+
+            def face_front(tri_ids):
+                t = jnp.maximum(tri_ids, 0)
+                a = scene_d.tri_v0[t]
+                nf = jnp.cross(scene_d.tri_v1[t] - a,
+                               scene_d.tri_v2[t] - a)
+                cen = (a + scene_d.tri_v1[t] + scene_d.tri_v2[t]) / 3.0
+                return jnp.sum(nf * (basis.origin - cen), axis=-1) > 0.0
+
+            front_a = face_front(topo.edge_tri)
+            front_b = face_front(topo.edge_tri2)
+            has_b = topo.edge_tri2 >= 0
+            # candidates: silhouette flips, boundary edges (either
+            # orientation — winding-agnostic), shading creases
+            cand = (jnp.where(has_b, front_a != front_b, True)
+                    | (topo.edge_crease > 0.5))
+            cand = cand & (scene_d.tri_valid[topo.edge_tri] > 0.5)
+            # importance ∝ projected image length (contribution carries a
+            # |dX/dt| factor); clipped so behind-camera blowups can't
+            # starve the rest of the contour
+            pa = project_to_image(basis, va_all, W, H)
+            pb = project_to_image(basis, vb_all, W, H)
+            ell = jnp.linalg.norm(pb - pa, axis=-1)
+            wgt = jnp.where(cand, jnp.clip(ell, 1e-3, 1e4), 0.0)
+            wsum = jnp.sum(wgt)
+            logits = jnp.where(wgt > 0, jnp.log(jnp.maximum(wgt, 1e-30)),
+                               -jnp.inf)
+            eid = jax.random.categorical(ke, logits,
+                                         shape=(n_tri_samples,))
+            tri = topo.edge_tri[eid]
+            edge = topo.edge_k[eid]
+            va = va_all[eid]
+            vb = vb_all[eid]
+            p_e = wgt[eid] / jnp.maximum(wsum, 1e-30)
+            inv_meas = jnp.where(
+                wgt[eid] > 0, 1.0 / (jnp.maximum(p_e, 1e-30)
+                                     * n_tri_samples), 0.0)
+            valid = (wgt[eid] > 0) & (wsum > 0)
+        else:
+            # legacy uniform-over-slots path (correct only when no edge is
+            # shared — e.g. isolated emitter triangles; see ``topology``)
+            n_edges = 3 * TP
+            eid = jax.random.randint(ke, (n_tri_samples,), 0, n_edges)
+            tri = eid // 3
+            edge = eid % 3
+            va = verts[tri, edge]
+            vb = verts[tri, (edge + 1) % 3]
+            valid = scene_d.tri_valid[tri] > 0.5
+            inv_meas = jnp.full((n_tri_samples,),
+                                n_edges / n_tri_samples, jnp.float32)
+        tparam = jax.random.uniform(kt, (n_tri_samples,))
         ol = lens_points(jax.random.fold_in(k_lens, 0), n_tri_samples)
 
         x_world = (1.0 - tparam)[:, None] * va + tparam[:, None] * vb
@@ -199,12 +260,11 @@ def boundary_gradients(scene: Scene, basis: CameraBasis, params: RenderParams,
             jax.random.fold_in(k_rng, 0), (n_tri_samples,), dtype=jnp.uint32)
         nhat, tlen, s = side_terms(x_img, tangent, n_tri_samples, state, ol)
 
-        # measure: ∫ dl_img = ∫₀¹ |dX/dt| dt per edge, edges picked
-        # uniformly (×n_edges); the boundary velocity n̂·∂x/∂θ is the
+        # measure: ∫ dl_img = ∫₀¹ |dX/dt| dt per edge; edge choice weighted
+        # by inv_meas = 1/(pdf·N); the boundary velocity n̂·∂x/∂θ is the
         # material-point derivative (tangential reparametrization killed
         # by the n̂ projection)
-        coeff = (jnp.where(valid, s, 0.0) * tlen
-                 * (n_edges / n_tri_samples))
+        coeff = jnp.where(valid, s, 0.0) * tlen * inv_meas
 
         # ∂(n̂·x_img)/∂va = (1−t)·Jᵀn̂, ∂/∂vb = t·Jᵀn̂ via one vjp each
         def g_world(xw, nh, o_):

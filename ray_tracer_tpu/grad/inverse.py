@@ -184,12 +184,16 @@ def sharded_chunked_mse_value_and_grad(trainable, render_pixels_fn, params,
 
 
 def make_train_step(params: RenderParams, optimizer=None, mesh=None,
-                    edge_samples: int = 0, grad_chunks: int = 0):
+                    edge_samples: int = 0, grad_chunks: int = 0,
+                    topology=None):
     """Build a jitted SGD/Adam step over trainable scene leaves.
 
     ``edge_samples > 0`` adds the edge-sampled visibility (boundary)
     gradients (grad/edges.py) for geometry fields — without them, autodiff
-    sees only shading changes, not silhouette motion.
+    sees only shading changes, not silhouette motion. Pass ``topology``
+    (grad.topology.build_topology) for meshes with shared edges: it fixes
+    the uniform sampler's interior-edge double count and concentrates
+    samples on silhouette/boundary/crease edges.
 
     ``grad_chunks > 1`` accumulates the gradient over sequential pixel
     chunks (chunked_mse_value_and_grad) — for frames/scenes beyond what
@@ -239,7 +243,8 @@ def make_train_step(params: RenderParams, optimizer=None, mesh=None,
             key = jax.random.fold_in(jax.random.PRNGKey(1234), frame_index)
             bg = boundary_gradients(full, basis, params, cot, key,
                                     n_tri_samples=edge_samples,
-                                    n_sph_samples=edge_samples)
+                                    n_sph_samples=edge_samples,
+                                    topology=topology)
             grads = {k: v + bg[k] if k in bg else v
                      for k, v in grads.items()}
         updates, opt_state = optimizer.update(grads, opt_state, trainable)
