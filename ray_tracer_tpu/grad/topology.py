@@ -196,8 +196,14 @@ def pull_back_vertex_grads(topo: MeshTopology, tri_grads: dict,
 
 def dirichlet_energy(topo: MeshTopology, offsets) -> jax.Array:
     """Graph-Laplacian smoothness prior on a vertex field: mean squared
-    difference across physical edges. Regularizes geometry recovery —
-    silhouette evidence is sparse (only silhouette vertices get boundary
-    signal each view), and this propagates it inboard."""
+    field GRADIENT across physical edges — ‖δ_i − δ_j‖² normalized by the
+    base edge length ‖x_i − x_j‖², so the energy is dimensionless and a
+    given prior weight transfers across mesh resolutions (an un-normalized
+    mean edge difference scales with edge length, making the same weight
+    ~100x weaker on a fine mesh than a coarse one). Regularizes geometry
+    recovery — silhouette evidence is sparse (only silhouette vertices get
+    boundary signal each view), and this propagates it inboard."""
     d = offsets[topo.edge_va] - offsets[topo.edge_vb]
-    return jnp.mean(jnp.sum(d * d, axis=-1))
+    e = topo.base_verts[topo.edge_va] - topo.base_verts[topo.edge_vb]
+    e2 = jnp.maximum(jnp.sum(e * e, axis=-1), 1e-20)
+    return jnp.mean(jnp.sum(d * d, axis=-1) / e2)

@@ -1,0 +1,86 @@
+"""CPU regression test for per-vertex geometry recovery (VERDICT r4 #1).
+
+Runs the actual production recovery loop (tools/invert_vertices.py:
+run_vertex_recovery — interior autodiff through recomputed normals +
+silhouette-classified boundary gradients + annealed Dirichlet prior +
+CRN multi-view loss) on a CPU-scale closed mesh, so the teapot demo's
+machinery can't silently rot. The full-scale on-chip result lives in
+artifacts/invert_vertices*.json.
+"""
+
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import ray_tracer_tpu as rt
+from ray_tracer_tpu.grad.topology import apply_vertex_offsets, build_topology
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+
+def octasphere(subdiv=2, radius=1.0):
+    """Subdivided octahedron projected to the sphere — a closed mesh whose
+    every edge is shared (the hard case for edge sampling)."""
+    v = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
+                  [0, 0, 1], [0, 0, -1]], np.float64)
+    f = [[0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+         [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]]
+    for _ in range(subdiv):
+        nf, cache, vl = [], {}, v.tolist()
+
+        def mid(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in cache:
+                m = (np.array(vl[a]) + np.array(vl[b])) / 2
+                m = m / np.linalg.norm(m)
+                cache[key] = len(vl)
+                vl.append(m.tolist())
+            return cache[key]
+
+        for a, b, c in f:
+            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+            nf += [[a, ab, ca], [ab, b, bc], [ca, bc, c], [ab, bc, ca]]
+        v, f = np.array(vl), nf
+    return (v * radius).astype(np.float32), np.array(f, np.int64)
+
+
+def test_per_vertex_recovery_small_mesh():
+    from invert_vertices import (TRUE_ALBEDO, ring_cameras,
+                                 run_vertex_recovery, smooth_field)
+
+    verts, faces = octasphere(subdiv=2)
+    normals = verts / np.linalg.norm(verts, axis=1, keepdims=True)
+    scene = (rt.SceneBuilder()
+             .add_mesh(verts, normals, faces.reshape(-1),
+                       albedo=tuple(TRUE_ALBEDO), smoothness=0.0)
+             .build())
+    ext = 2.0
+    topo = build_topology(scene)
+    assert topo.num_verts == 66
+    # truth rendered with the same recomputed-normal model the recovery uses
+    scene = apply_vertex_offsets(
+        scene, topo, jnp.zeros((topo.num_verts, 3), jnp.float32))
+
+    params = rt.RenderParams(width=64, height=64, bounces=1, skybox=True,
+                             backend="jnp")
+    bases = ring_cameras(np.zeros(3), ext, n_views=4)
+    start = smooth_field(jax.random.PRNGKey(1), topo.base_verts, ext,
+                         rms=0.10 * ext)
+    start_rms = float(jnp.sqrt(jnp.mean(jnp.sum(start ** 2, -1)))) / ext
+    assert start_rms == pytest.approx(0.10, abs=1e-3)
+
+    off, alb, losses = run_vertex_recovery(
+        scene, topo, params, bases, steps=300, start_offsets=start,
+        start_albedo=np.array([0.35, 0.6, 0.55], np.float32),
+        edge_samples=1024, frame_cycle=2, ext=ext, log=False)
+
+    rms = float(np.sqrt(np.mean(np.sum(off ** 2, -1)))) / ext
+    alb_err = float(np.abs(alb - TRUE_ALBEDO).max())
+    # measured 0.0116 / 0.0028 at this config; generous margins
+    assert rms < 0.02, f"offset RMS {rms} (start {start_rms})"
+    assert alb_err < 0.03, f"albedo error {alb_err}"
+    assert losses[-1] < 0.1 * losses[0]
