@@ -186,18 +186,21 @@ def _pack_attrs(scene: Scene):
 
 
 def _textured_shading(textures, albedo, normal, uv, tex, ntex, tan, bitan,
-                      with_normal_maps=True):
+                      with_normal_maps=True, live=None):
     """Texture-map the shading attributes of rays whose winner carries
     texture ids: modulate albedo by the base-color map and rotate the
     normal by the tangent-frame normal map. ``tex``/``ntex`` = -1 lanes
     pass through unchanged (sample_bilinear returns white). Shared by the
     jnp winner-recompute (hit_attributes) and the fused Pallas forward.
     ``with_normal_maps=False`` (static, from scene.num_normal_maps) elides
-    the second texture fetch entirely."""
-    from ..texture import decode_normal_map, sample_bilinear
-    albedo = albedo * sample_bilinear(textures, tex, uv)
+    the second texture fetch entirely. ``live`` ((R,) bool or None) gates
+    the row-rate-bound fetches to live ray tiles (sample_bilinear_gated);
+    dead-tile lanes keep the untextured attributes, which are unused."""
+    from ..texture import decode_normal_map, sample_bilinear_gated
+    albedo = albedo * sample_bilinear_gated(textures, tex, uv, live)
     if with_normal_maps:
-        nm = decode_normal_map(sample_bilinear(textures, ntex, uv))
+        nm = decode_normal_map(sample_bilinear_gated(textures, ntex, uv,
+                                                     live))
         n_mapped = _safe_normalize(
             nm[:, 0:1] * tan + nm[:, 1:2] * bitan + nm[:, 2:3] * normal)
         normal = jnp.where((ntex >= 0)[:, None], n_mapped, normal)
@@ -295,7 +298,10 @@ def hit_attributes_from_rows(scene: Scene, rows, o, d, prim_id, miss, t_min):
     tax, tay, taz = rows[18], rows[19], rows[20]
     if scene.num_textures:
         # the texture sampler is gather-bound, not layout-bound — call it
-        # in its native row-major orientation
+        # in its native row-major orientation. Liveness (= not-miss: the
+        # kernels mark dead-on-entry lanes as misses) gates the fetch to
+        # live ray tiles — the single largest textured-frame line item
+        # (r4: ~140 ms/frame of full-wavefront quad gathers).
         uv = jnp.stack([rows[26] * w + rows[28] * u + rows[30] * v,
                         rows[27] * w + rows[29] * u + rows[31] * v],
                        axis=-1)
@@ -305,7 +311,8 @@ def hit_attributes_from_rows(scene: Scene, rows, o, d, prim_id, miss, t_min):
             jnp.stack([ntx, nty, ntz], axis=-1), uv,
             rows[38].astype(jnp.int32), rows[39].astype(jnp.int32),
             rows[32:35].T, rows[35:38].T,
-            with_normal_maps=scene.num_normal_maps > 0)
+            with_normal_maps=scene.num_normal_maps > 0,
+            live=jnp.logical_not(miss))
         tax, tay, taz = (tri_albedo_r[:, 0], tri_albedo_r[:, 1],
                          tri_albedo_r[:, 2])
         ntx, nty, ntz = n_tri_r[:, 0], n_tri_r[:, 1], n_tri_r[:, 2]

@@ -14,6 +14,7 @@ its bottom-left-origin vt records; glTF passes through unchanged.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -83,6 +84,65 @@ def sample_bilinear(stack, tex_id, uv):
     bot = c01 * (1 - fx) + c11 * fx
     out = top * (1 - fy) + bot * fy
     return jnp.where((tex_id >= 0)[:, None], out, 1.0)
+
+
+def sample_bilinear_gated(stack, tex_id, uv, live, tile: int = 128):
+    """Liveness-gated bilinear fetch: skip whole dead ray tiles.
+
+    TPU gathers are ROW-rate-bound (~40 ms per 2M rows on v5e), and the
+    full-wavefront fetch runs every bounce even though liveness collapses
+    tile-coherently (r2 culling statistics: 13.5% live tiles at bounce 1,
+    2.1% at bounce 2 — and on open scenes most bounce-0 tiles are all-sky).
+    Rays arrive in the renderer's 16x8 blocked pixel order, so liveness is
+    coherent per 128-lane tile; this wrapper compacts the LIVE tiles (tile
+    index ops cost R/tile rows — trivial), fetches only their lanes, and
+    scatters the results back. Two static budgets (T/16, T/4) with a
+    ``lax.cond`` fallback to the plain full fetch keep shapes static and
+    the estimator exact on any occupancy.
+
+    Live lanes get bit-identical values to ``sample_bilinear`` (same rows,
+    same arithmetic, per lane); lanes in all-dead tiles return white — their
+    albedo is provably unused (throughput/NEE updates are gated on
+    active-hit lanes) and their texel cotangents are exactly zero, so
+    values, images, and texture-recovery gradients all match the ungated
+    fetch. ``live=None``, non-tile-divisible R, or fewer than 16 tiles fall
+    back to the plain fetch.
+    """
+    R = int(tex_id.shape[0])
+    if live is None or R % tile or (R // tile) < 16:
+        return sample_bilinear(stack, tex_id, uv)
+    import os
+    if os.environ.get("RTT_TEX_GATE", "1") == "0":
+        return sample_bilinear(stack, tex_id, uv)
+    T = R // tile
+    tile_live = jnp.any(live.reshape(T, tile), axis=1)
+    n_live = jnp.sum(tile_live.astype(jnp.int32))
+    uv_t = uv.reshape(T, tile, 2)
+    id_t = tex_id.reshape(T, tile)
+
+    def compact(budget):
+        def go(_):
+            # fill slots index T (out of range): their gather clips to the
+            # last tile (harmless, just computed twice) and their scatter
+            # is dropped, so dead tiles keep the white placeholder
+            idx = jnp.nonzero(tile_live, size=budget, fill_value=T)[0]
+            out = sample_bilinear(
+                stack, id_t.at[idx].get(mode="clip").reshape(-1),
+                uv_t.at[idx].get(mode="clip").reshape(-1, 2))
+            full = jnp.ones((T, tile, 3), stack.dtype)
+            full = full.at[idx].set(out.reshape(budget, tile, 3),
+                                    mode="drop")
+            return full.reshape(R, 3)
+        return go
+
+    def full_fetch(_):
+        return sample_bilinear(stack, tex_id, uv)
+
+    return jax.lax.cond(
+        n_live <= T // 16, compact(T // 16),
+        lambda _: jax.lax.cond(n_live <= T // 4, compact(T // 4),
+                               full_fetch, None),
+        None)
 
 
 def decode_normal_map(rgb):

@@ -116,6 +116,82 @@ def test_normal_map_tilts_shading_normal():
     assert abs(n[2]) < 0.2
 
 
+class TestGatedFetch:
+    """sample_bilinear_gated: liveness-gated fetch must match the plain
+    fetch on live lanes bit for bit, at every budget tier, with matching
+    texel gradients (r5: the textured frame's largest line item)."""
+
+    def _data(self, n_tiles, live_tiles, seed=0):
+        rng = np.random.default_rng(seed)
+        R = n_tiles * 128
+        stack = jnp.asarray(rng.random((2, 16, 16, 3), np.float32))
+        tex_id = jnp.asarray(
+            rng.integers(-1, 2, R).astype(np.int32))
+        uv = jnp.asarray(rng.random((R, 2), np.float32) * 2.0 - 0.5)
+        live = np.zeros((n_tiles, 128), bool)
+        idx = rng.choice(n_tiles, live_tiles, replace=False)
+        # live tiles are PARTIALLY live (random lanes) — the gate must key
+        # off any-lane liveness, not all-lane
+        live[idx] = rng.random((live_tiles, 128)) < 0.7
+        live[idx, 0] = True
+        return stack, tex_id, uv, jnp.asarray(live.reshape(R))
+
+    @pytest.mark.parametrize("live_tiles", [1, 2, 10, 30, 64])
+    def test_matches_plain_on_live_lanes(self, live_tiles):
+        from ray_tracer_tpu.texture import sample_bilinear_gated
+        stack, tex_id, uv, live = self._data(64, live_tiles)
+        plain = np.asarray(sample_bilinear(stack, tex_id, uv))
+        gated = np.asarray(jax.jit(sample_bilinear_gated)(
+            stack, tex_id, uv, live))
+        lm = np.asarray(live)
+        # ulp-level tolerance: the compacted fetch runs the same per-lane
+        # arithmetic at a different array shape, which lets the backend
+        # vectorize (fma-fuse) differently
+        np.testing.assert_allclose(gated[lm], plain[lm],
+                                   rtol=3e-7, atol=1e-7)
+
+    def test_dead_tiles_white(self):
+        from ray_tracer_tpu.texture import sample_bilinear_gated
+        stack, tex_id, uv, live = self._data(64, 2)
+        gated = np.asarray(sample_bilinear_gated(stack, tex_id, uv, live))
+        tile_dead = ~np.asarray(live).reshape(64, 128).any(1)
+        lanes_dead = np.repeat(tile_dead, 128)
+        np.testing.assert_array_equal(gated[lanes_dead], 1.0)
+
+    def test_fallbacks_to_plain(self):
+        from ray_tracer_tpu.texture import sample_bilinear_gated
+        stack, tex_id, uv, live = self._data(64, 3)
+        # live=None, non-divisible R, too few tiles → plain everywhere
+        for args in ((stack, tex_id, uv, None),
+                     (stack, tex_id[:-3], uv[:-3], live[:-3]),
+                     (stack, tex_id[:128 * 8], uv[:128 * 8],
+                      live[:128 * 8])):
+            out = np.asarray(sample_bilinear_gated(*args))
+            ref = np.asarray(sample_bilinear(*args[:3]))
+            np.testing.assert_array_equal(out, ref)
+
+    @pytest.mark.parametrize("live_tiles", [2, 10])
+    def test_texel_gradients_match(self, live_tiles):
+        from ray_tracer_tpu.texture import sample_bilinear_gated
+        stack, tex_id, uv, live = self._data(64, live_tiles, seed=1)
+        w = jnp.asarray(
+            np.random.default_rng(2).random((64 * 128, 3), np.float32))
+        # live-lane-masked loss: the exact situation the renderer is in
+        # (dead-lane albedo cotangents are zero by construction)
+        wm = w * live[:, None]
+
+        def loss_plain(s):
+            return jnp.sum(sample_bilinear(s, tex_id, uv) * wm)
+
+        def loss_gated(s):
+            return jnp.sum(
+                sample_bilinear_gated(s, tex_id, uv, live) * wm)
+
+        gp = np.asarray(jax.grad(loss_plain)(stack))
+        gg = np.asarray(jax.grad(loss_gated)(stack))
+        np.testing.assert_allclose(gg, gp, atol=1e-6)
+
+
 @needs_assets
 def test_cube_obj_loads_with_textures():
     from ray_tracer_tpu.io import load_meshes
