@@ -367,7 +367,6 @@ def hit_attributes(scene: Scene, o, d, prim_id, miss, t_min):
 # Fused forward path: in-kernel raw-row extraction + scatter-add backward
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _winner_rows(scene, o, d, t_min, alive):
     """Closest-hit search with the winners' merged-table rows extracted
     INSIDE the Pallas kernel → (rows (26|40, R), prim_id, miss).
@@ -382,8 +381,21 @@ def _winner_rows(scene, o, d, t_min, alive):
     o/d get zero cotangents (rows don't depend on them — the discrete
     search is detached by construction); downstream geometry gradients flow
     through hit_attributes_from_rows via plain autodiff instead.
+
+    The differentiable boundary (`_winner_rows_c`) takes o/d as RANK-1
+    components and saves neither in its residuals: an (R, 3) array
+    crossing a custom_vjp boundary can materialize with the 3-vector on
+    the 128-lane axis (42x padding — the r4/r5 layout rule), and the
+    backward needs only zero cotangents of the right shape.
     """
-    return _winner_rows_impl(scene, o, d, t_min, alive)
+    return _winner_rows_c(scene, o[:, 0], o[:, 1], o[:, 2],
+                          d[:, 0], d[:, 1], d[:, 2], t_min, alive)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _winner_rows_c(scene, ox, oy, oz, dx, dy, dz, t_min, alive):
+    return _winner_rows_impl(scene, jnp.stack([ox, oy, oz], axis=-1),
+                             jnp.stack([dx, dy, dz], axis=-1), t_min, alive)
 
 
 def _winner_rows_impl(scene, o, d, t_min, alive):
@@ -395,13 +407,14 @@ def _winner_rows_impl(scene, o, d, t_min, alive):
     return rows, prim_id, jnp.isinf(best_t)
 
 
-def _winner_rows_fwd(scene, o, d, t_min, alive):
-    rows, prim_id, miss = _winner_rows_impl(scene, o, d, t_min, alive)
-    return (rows, prim_id, miss), (scene, o, d, prim_id, miss)
+def _winner_rows_fwd(scene, ox, oy, oz, dx, dy, dz, t_min, alive):
+    rows, prim_id, miss = _winner_rows_c(scene, ox, oy, oz, dx, dy, dz,
+                                         t_min, alive)
+    return (rows, prim_id, miss), (scene, prim_id, miss)
 
 
 def _winner_rows_bwd(t_min, res, g):
-    scene, o, d, prim_id, miss = res
+    scene, prim_id, miss = res
     # miss lanes' kernel rows are zero, not primitive 0's row — their
     # cotangents must not scatter into primitive 0 (they are masked
     # downstream anyway, but the VJP must match the forward it claims).
@@ -423,10 +436,11 @@ def _winner_rows_bwd(t_min, res, g):
         ids = jnp.where(miss, n_rows, prim_id)
         g_table = scatter_rows_soa_pallas(ids, g_soa, n_rows)
     (gs,) = vjp_pack(g_table)
-    return gs, jnp.zeros_like(o), jnp.zeros_like(d), None
+    zc = jnp.zeros(prim_id.shape, jnp.float32)
+    return gs, zc, zc, zc, zc, zc, zc, None
 
 
-_winner_rows.defvjp(_winner_rows_fwd, _winner_rows_bwd)
+_winner_rows_c.defvjp(_winner_rows_fwd, _winner_rows_bwd)
 
 
 def fused_intersect(scene, o, d, t_min, alive):

@@ -152,10 +152,25 @@ def trace(scene: Scene, o, d, state, params: RenderParams):
     zero3 = o * 0.0
     slot = state * 0 + jnp.arange(R, dtype=jnp.uint32)  # original ray slot
     all_true = zero3[:, 0] == 0.0
+    # Scan carries are RANK-1 components, never (R, 3) (r5, extending the
+    # r4 layout rule): an (R, 3) array has two possible TPU layouts, and
+    # in the BACKWARD pass XLA's layout assignment materialized scan-carry
+    # cotangents and their conversion copies with the 3-vector on the
+    # 128-lane axis — a 42x-padded ~1 GB buffer per materialization at
+    # 1080p (measured r5: 272 lane-flipped buffers in the grad HLO, 0 in
+    # the forward; the whole-frame backward carried ~46 ms/bounce of
+    # excess on mostly-dead bounces). A rank-1 array has exactly one
+    # layout, so nothing that crosses the scan boundary can flip; the
+    # (R, 3) views are reassembled INSIDE the body where fusion keeps
+    # them unmaterialized. Stack/slice round-trips are exact — images
+    # are bit-identical (test-pinned).
+    def _split3(v):
+        return (v[:, 0], v[:, 1], v[:, 2])
+
     init = (
-        o, d,
-        zero3 + 1.0,                      # throughput (ray_color, wgsl:231)
-        zero3,                            # incoming light
+        *_split3(o), *_split3(d),
+        *_split3(zero3 + 1.0),            # throughput (ray_color, wgsl:231)
+        *_split3(zero3),                  # incoming light
         all_true,                         # alive
         all_true,                         # emission_ok (NEE double-count guard)
         zero3[:, 0],                      # prev_pdf: BSDF pdf of the previous
@@ -166,8 +181,12 @@ def trace(scene: Scene, o, d, state, params: RenderParams):
     )
 
     def bounce(carry, seg_index):
-        (o, d, throughput, incoming, alive, emission_ok, prev_pdf, state,
-         slot) = carry
+        (ox, oy, oz, dx, dy, dz, tpx, tpy, tpz, inx, iny, inz, alive,
+         emission_ok, prev_pdf, state, slot) = carry
+        o = jnp.stack([ox, oy, oz], axis=-1)
+        d = jnp.stack([dx, dy, dz], axis=-1)
+        throughput = jnp.stack([tpx, tpy, tpz], axis=-1)
+        incoming = jnp.stack([inx, iny, inz], axis=-1)
         if compacting:
             # wavefront compaction: reorder so kernel tiles stay coherent
             # and dead rays collapse into whole tiles the kernel skips
@@ -358,16 +377,17 @@ def trace(scene: Scene, o, d, state, params: RenderParams):
             boost = jnp.where(rr_on & ~kill, 1.0 / p_surv, 1.0)
             throughput = throughput * boost[:, None]
             alive = alive & ~kill
-        return (o, d, throughput, incoming, alive, emission_ok, prev_pdf,
+        return (*_split3(o), *_split3(d), *_split3(throughput),
+                *_split3(incoming), alive, emission_ok, prev_pdf,
                 state, slot), None
 
     # Inclusive loop: bounces+1 segments, matching `i <= number_of_bounces`
     # (wgsl:233; SURVEY quirk Q3 — kept, it defines the reference's look).
     bounce_fn = jax.checkpoint(bounce) if params.remat else bounce
-    (o, d, throughput, incoming, alive, emission_ok, prev_pdf, state,
-     slot), _ = \
+    (*_, inx, iny, inz, alive, emission_ok, prev_pdf, state, slot), _ = \
         jax.lax.scan(bounce_fn, init,
                      jnp.arange(params.bounces + 1, dtype=jnp.int32))
+    incoming = jnp.stack([inx, iny, inz], axis=-1)
     if compacting:
         # scatter radiance (and RNG state) back to original ray slots
         incoming = jnp.zeros_like(incoming).at[slot].set(incoming)

@@ -328,6 +328,88 @@ def main():
     for nb in (0, 1, 2):
         rep_run(f"r_grad_b{nb}", _grad_body(params.replace(bounces=nb)))
 
+    # --- r5: FULL-FRAME rep-scanned grads (the r4 gap: grad_full 253.6 ms
+    # vs 8 x r_grad = 170 ms — which piece owns the ~84 ms?) -------------
+    ids_full = jnp.asarray(order_np.astype(np.int32))
+    tgt_full_px = target.reshape(R, 3)[ids_full]
+
+    def _grad_full_body(i):
+        """bench's loss verbatim: render_frame (incl. unblock + mean)."""
+        def loss_fn(fl):
+            img = render_frame(_merged(fl), basis, params, i)
+            return jnp.mean((img - target) ** 2)
+        return _gsum(jax.grad(loss_fn)(float_leaves))
+
+    def _grad_fullpix_body(i):
+        """full 2.07M-ray grad WITHOUT the frame assembly (no unblock)."""
+        def loss_fn(fl):
+            rad = render_pixels(_merged(fl), basis, params, i, ids_full)
+            return jnp.sum((rad - tgt_full_px) ** 2) / jnp.float32(R * 3)
+        return _gsum(jax.grad(loss_fn)(float_leaves))
+
+    def _grad_scan8_body(i):
+        """8 sequential chunk grads inside one rep (the production
+        chunked shape, without chunked_mse_value_and_grad's machinery)."""
+        ids8 = ids_full.reshape(8, Rc)
+        tgt8 = tgt_full_px.reshape(8, Rc, 3)
+
+        def one(acc, args):
+            ids_i, tgt_i = args
+
+            def loss_fn(fl):
+                rad = render_pixels(_merged(fl), basis, params, i, ids_i)
+                return jnp.sum((rad - tgt_i) ** 2) / jnp.float32(R * 3)
+            return acc + _gsum(jax.grad(loss_fn)(float_leaves)), None
+        acc, _ = jax.lax.scan(one, jnp.float32(0.0), (ids8, tgt8))
+        return acc
+
+    rep_run("r_grad_full", _grad_full_body)
+    rep_run("r_grad_fullpix", _grad_fullpix_body)
+    rep_run("r_grad_scan8", _grad_scan8_body)
+    rep_run("r_fwd_full", lambda i: jnp.sum(
+        render_pixels(scene, basis, params, i, ids_full)) * 1e-6)
+
+    # full-frame bounce sweep + severed scene chain: the backward's
+    # marginal cost per (mostly-dead) bounce, and how much of it is the
+    # scatter+pack VJP vs the elementwise cotangent chain
+    def _grad_fullpix_p(p):
+        def body(i):
+            def loss_fn(fl):
+                rad = render_pixels(_merged(fl), basis, p, i, ids_full)
+                return jnp.sum((rad - tgt_full_px) ** 2) / jnp.float32(R * 3)
+            return _gsum(jax.grad(loss_fn)(float_leaves))
+        return body
+
+    for nb in (0, 1, 2):
+        rep_run(f"r_gfull_b{nb}", _grad_fullpix_p(params.replace(bounces=nb)))
+
+    def _with_severed_scene(body):
+        def wrapped(i):
+            import functools as _f
+
+            def _bwd0(t_min, res, g):
+                sc, o2, d2 = res
+                table, vjp_pack = jax.vjp(_itD._pack_attrs, sc)
+                (zs,) = vjp_pack(jnp.zeros_like(table))
+                return zs, jnp.zeros_like(o2), jnp.zeros_like(d2), None
+
+            @_f.partial(jax.custom_vjp, nondiff_argnums=(3,))
+            def rows0(sc, o2, d2, t_min, alive2):
+                return _itD._winner_rows_impl(sc, o2, d2, t_min, alive2)
+
+            rows0.defvjp(lambda sc, o2, d2, t_min, alive2:
+                         (_itD._winner_rows_impl(sc, o2, d2, t_min, alive2),
+                          (sc, o2, d2)), _bwd0)
+            orig = _itD._winner_rows
+            _itD._winner_rows = rows0
+            try:
+                return body(i)
+            finally:
+                _itD._winner_rows = orig
+        return wrapped
+
+    rep_run("r_gfull_noscene", _with_severed_scene(_grad_fullpix_body))
+
     def _vjp1_body(i):
         o_i = o_c + i.astype(jnp.float32) * 1e-12
 
@@ -392,7 +474,7 @@ def main():
     from ray_tracer_tpu.ops import intersect as _it0
 
     def _bwd_ns(t_min, res, g):
-        scene_r, o, d, prim_id, miss = res
+        scene_r, o, d = res
         table, vjp_pack = jax.vjp(_it0._pack_attrs, scene_r)
         (zs,) = vjp_pack(jnp.zeros_like(table))
         return zs, jnp.zeros_like(o), jnp.zeros_like(d), None
@@ -403,7 +485,11 @@ def main():
     def rows_ns0(scene_a, o, d, t_min, alive):
         return _it0._winner_rows_impl(scene_a, o, d, t_min, alive)
 
-    rows_ns0.defvjp(_it0._winner_rows_fwd, _bwd_ns)
+    def _fwd_ns0(scene_a, o, d, t_min, alive):
+        return (_it0._winner_rows_impl(scene_a, o, d, t_min, alive),
+                (scene_a, o, d))
+
+    rows_ns0.defvjp(_fwd_ns0, _bwd_ns)
     _orig0 = _it0._winner_rows
     _it0._winner_rows = rows_ns0
     try:
@@ -452,7 +538,7 @@ def main():
     from ray_tracer_tpu.ops import intersect as _it
 
     def _bwd_noscene(t_min, res, g):
-        scene_r, o, d, prim_id, miss = res
+        scene_r, o, d = res
         # constant-zero cotangent through pack's vjp: XLA folds the whole
         # thing away, leaving only correctly-typed zero scene cotangents
         table, vjp_pack = jax.vjp(_it._pack_attrs, scene_r)
@@ -465,7 +551,11 @@ def main():
     def rows_ns(scene, o, d, t_min, alive):
         return _it._winner_rows_impl(scene, o, d, t_min, alive)
 
-    rows_ns.defvjp(_it._winner_rows_fwd, _bwd_noscene)
+    def _fwd_ns(scene, o, d, t_min, alive):
+        return (_it._winner_rows_impl(scene, o, d, t_min, alive),
+                (scene, o, d))
+
+    rows_ns.defvjp(_fwd_ns, _bwd_noscene)
     orig = _it._winner_rows
     # fused_intersect resolves `_winner_rows` through the module globals at
     # call time — rebinding the module attr is enough
