@@ -431,7 +431,9 @@ def _winner_rows_bwd(t_min, res, g):
         g_table = jnp.zeros_like(table).at[prim_id].add(g_soa.T)
     else:
         # MXU one-hot scatter (~4x the XLA scatter's row rate); miss lanes
-        # route to the out-of-range id and are dropped in-kernel
+        # route to the out-of-range id and are dropped in-kernel (and the
+        # scatter's step lists skip hit-free grid steps — the late-bounce
+        # wavefronts are nearly all-miss)
         n_rows = table.shape[0]
         ids = jnp.where(miss, n_rows, prim_id)
         g_table = scatter_rows_soa_pallas(ids, g_soa, n_rows)

@@ -1373,20 +1373,37 @@ def _block_lists(rays, blk, n_steps, step, n_blocks, TB, num_real_tris,
         tn, tf = _slab_test((row[0], row[1], row[2]),
                             (row[3], row[4], row[5]), o, invd, t_min)
         enter = (tf >= tn) & alive                         # (Rp,)
-        return jnp.any(enter.reshape(n_steps, step), axis=1)
+        e2 = enter.reshape(n_steps, step)
+        # per-step nearest entry distance — the near-to-far visit key
+        tn2 = jnp.min(jnp.where(e2, tn.reshape(n_steps, step), jnp.inf),
+                      axis=1)
+        return jnp.any(e2, axis=1), tn2
 
-    ent = jax.lax.map(one_block, blk).T                    # (n_steps, nb)
+    ent, tnear = jax.lax.map(one_block, blk)               # (nb, n_steps)
+    ent, tnear = ent.T, tnear.T                            # (n_steps, nb)
     # all-padding blocks pass the slab test vacuously (±inf bounds — see
     # _cluster_aabbs); mask them by the static real-block count
     nb_real = -(-num_real_tris // TB)
     idx = jnp.arange(n_blocks, dtype=jnp.int32)
     ent = ent & (idx[None, :] < nb_real)
-    # ascending entered indices first (Morton block order = near-to-far-ish
-    # spatial order, same as the dense sweep), then repeats of the last
-    key = jnp.where(ent, idx[None, :], n_blocks + idx[None, :])
-    order = jnp.sort(key, axis=1).astype(jnp.int32)
     cnt = ent.sum(axis=1).astype(jnp.int32)
-    entered = jnp.where(order < n_blocks, order, 0)
+    if os.environ.get("RTT_BLOCK_ORDER", "near") == "near":
+        # NEAR-TO-FAR visit order (r5): sort each step's entered blocks by
+        # their nearest frustum entry distance, so early hits tighten the
+        # running best-t before far blocks are visited and the kernel's
+        # per-tile block slab re-test (btn < best_t) kills them outright —
+        # the streaming analog of the resident centerout traversal. On the
+        # 192k teapots+terrain workload the depth range is large and
+        # Morton id order is NOT near-to-far. The kernel requires no
+        # monotonic id order; repeats still elide the re-DMA.
+        order = jnp.argsort(jnp.where(ent, tnear, jnp.inf),
+                            axis=1).astype(jnp.int32)
+        entered = order
+    else:
+        # ascending Morton ids (the r3 behavior, kept as the A/B control)
+        key = jnp.where(ent, idx[None, :], n_blocks + idx[None, :])
+        entered = jnp.where(jnp.sort(key, axis=1) < n_blocks,
+                            jnp.sort(key, axis=1), 0).astype(jnp.int32)
     last = jnp.take_along_axis(entered,
                                jnp.maximum(cnt - 1, 0)[:, None], axis=1)
     bl = jnp.where(idx[None, :] < cnt[:, None], entered, last)
@@ -1673,7 +1690,8 @@ def scatter_rows_pallas(prim_id, g_rows, n_rows: int, interpret=False,
                               _auto_interpret(interpret), cfg or env_config())
 
 
-def _make_scatter_soa_kernel(Pp: int, WO: int, cfg: KConfig):
+def _make_scatter_soa_kernel(Pp: int, WO: int, cfg: KConfig,
+                             use_lists: bool = False):
     """Body for scatter_rows_soa_pallas: like _make_scatter_kernel but the
     cotangent block arrives in SoA orientation (WO, step) — rows/columns on
     sublanes, RAYS ON LANES, the exact layout the winner-row VJP's upstream
@@ -1682,17 +1700,36 @@ def _make_scatter_soa_kernel(Pp: int, WO: int, cfg: KConfig):
     contracting (1,)x(1,)) -> (csize, WO). Removes the XLA-side
     (26, R) -> (R, 26) transpose whose lane-padded materializations
     dominated the backward (r4 profile: the transposed row-major buffers
-    cost more than every kernel in the VJP combined)."""
+    cost more than every kernel in the VJP combined).
+
+    With ``use_lists`` the grid rides a scalar-prefetch STEP list (the
+    streaming kernel's block-list pattern): visit i processes ray step
+    sl[i]; visits past the live-step count repeat the last live step (no
+    re-DMA) and reduce to one scalar compare. The whole-frame backward
+    runs one full-R scatter PER BOUNCE while late-bounce wavefronts are
+    nearly all-miss — per-grid-step machinery on hit-free steps was the
+    scatter's dominant cost (r5: 9.1 ms/scatter at 1080p regardless of
+    liveness; an XLA-side tile-compaction attempt measured a net LOSS,
+    gather machinery > savings — see docs/PERF_NOTES.md r5)."""
     RT = cfg.rt
     csize = 128
     n_chunks = Pp // csize
 
-    def kernel(ids_ref, g_ref, out_ref):
+    def kernel(*refs):
+        if use_lists:
+            sl_ref, cnt_ref, ids_ref, g_ref, out_ref = refs
+        else:
+            ids_ref, g_ref, out_ref = refs
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
             out_ref[:, :] = jnp.zeros((Pp, WO), jnp.float32)
+
+        if use_lists:
+            live_visit = i < cnt_ref[0]
+        else:
+            live_visit = True
 
         def one_tile(L):
             lanes = pl.ds(pl.multiple_of(L, RT), RT)
@@ -1724,14 +1761,18 @@ def _make_scatter_soa_kernel(Pp: int, WO: int, cfg: KConfig):
                 jax.lax.fori_loop(c_lo, jnp.minimum(c_hi + 1, n_chunks),
                                   chunk, 0)
 
-        jax.lax.fori_loop(0, cfg.step_tiles,
-                          lambda jt, c: (one_tile(jt * RT), c)[1], 0)
+        @pl.when(live_visit)
+        def _():
+            jax.lax.fori_loop(0, cfg.step_tiles,
+                              lambda jt, c: (one_tile(jt * RT), c)[1], 0)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n_rows", "interpret", "cfg"))
-def _scatter_rows_soa_call(ids, g_soa, n_rows, interpret, cfg: KConfig):
+@functools.partial(jax.jit, static_argnames=("n_rows", "interpret", "cfg",
+                                             "lists"))
+def _scatter_rows_soa_call(ids, g_soa, n_rows, interpret, cfg: KConfig,
+                           lists: bool = True):
     W, R = g_soa.shape
     RT = cfg.rt
     step = RT * cfg.step_tiles
@@ -1742,6 +1783,47 @@ def _scatter_rows_soa_call(ids, g_soa, n_rows, interpret, cfg: KConfig):
     ids8 = jnp.pad(ids[None, :], ((0, 7), (0, Rp - R)),
                    constant_values=Pp)
     g = jnp.pad(g_soa, ((0, WO - W), (0, Rp - R)))
+
+    # Step lists (r5): visit only ray steps that carry a REAL-row id.
+    # ids in [n_rows, Pp) land in pad rows the caller's slice discards,
+    # so skipping their steps returns the identical value; per-tile fp
+    # grouping of surviving steps is untouched (unlike XLA-side tile
+    # compaction, which regroups lanes across contraction tiles AND
+    # measured a net loss — docs/PERF_NOTES.md r5).
+    use_lists = lists and n_steps >= 16
+    if use_lists:
+        live = jnp.any(((ids8[0] >= 0) & (ids8[0] < n_rows))
+                       .reshape(n_steps, step), axis=1)
+        sidx = jnp.arange(n_steps, dtype=jnp.int32)
+        key = jnp.where(live, sidx, n_steps + sidx)
+        order = jnp.sort(key).astype(jnp.int32)
+        cnt = live.sum().astype(jnp.int32)[None]
+        entered = jnp.where(order < n_steps, order, 0)
+        last = entered[jnp.maximum(cnt[0] - 1, 0)]
+        sl = jnp.where(sidx < cnt[0], entered, last)
+        out = pl.pallas_call(
+            _make_scatter_soa_kernel(Pp, WO, cfg, use_lists=True),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(n_steps,),
+                in_specs=[
+                    pl.BlockSpec((8, step), lambda i, *s: (0, s[0][i]),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((WO, step), lambda i, *s: (0, s[0][i]),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((Pp, WO), lambda i, *s: (0, 0),
+                                       memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct((Pp, WO), jnp.float32),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=Rp * 128 * WO * 2,
+                bytes_accessed=Rp * (4 + WO * 4) + Pp * WO * 4,
+                transcendentals=0,
+            ),
+        )(sl, cnt, ids8, g)
+        return out[:n_rows, :W]
 
     out = pl.pallas_call(
         _make_scatter_soa_kernel(Pp, WO, cfg),
@@ -1769,10 +1851,13 @@ def scatter_rows_soa_pallas(prim_id, g_soa, n_rows: int, interpret=False,
                             cfg: KConfig | None = None):
     """MXU scatter-add taking the cotangent in SoA orientation:
     ``zeros((n_rows, W)).at[prim_id].add(g_soa.T)`` without the host-side
-    transpose (see _make_scatter_soa_kernel). ``g_soa``: (W, R)."""
-    return _scatter_rows_soa_call(prim_id, g_soa, n_rows,
-                                  _auto_interpret(interpret),
-                                  cfg or env_config())
+    transpose (see _make_scatter_soa_kernel). ``g_soa``: (W, R). Grid
+    steps without any contributing lane are skipped via a scalar-prefetch
+    step list (RTT_SCATTER_LISTS=0 disables)."""
+    return _scatter_rows_soa_call(
+        prim_id, g_soa, n_rows, _auto_interpret(interpret),
+        cfg or env_config(),
+        lists=os.environ.get("RTT_SCATTER_LISTS", "1") != "0")
 
 
 def _use_blocked(scene: Scene, cfg: KConfig) -> bool:

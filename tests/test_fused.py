@@ -209,6 +209,42 @@ def test_scatter_rows_kernel_matches_xla_scatter():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_scatter_soa_step_lists_match_dense():
+    """The step-list SoA scatter (r5: scalar-prefetch grid visits only
+    hit-bearing ray steps) must equal the dense-grid scatter BIT-FOR-BIT
+    at every occupancy — skipped steps carry only dropped ids, and
+    surviving steps keep their order, so the accumulation sequence is
+    identical. Covers sparse, dense, and fully-dead wavefronts."""
+    from ray_tracer_tpu.ops.pallas_intersect import (KConfig,
+                                                     scatter_rows_soa_pallas)
+    import os
+
+    rng = np.random.default_rng(5)
+    R, N, W = 4096, 500, 26
+    cfg = KConfig(rt=128, step_tiles=1)          # 32 steps of 128 lanes
+    for live_steps, name in ((2, "sparse"), (30, "dense"), (0, "all-dead")):
+        live = np.zeros(R, bool)
+        for t in rng.choice(32, size=live_steps, replace=False):
+            live[t * 128:(t + 1) * 128] = rng.random(128) < 0.7
+        ids = np.where(live, rng.integers(0, N, size=R), N).astype(np.int32)
+        g = rng.normal(size=(W, R)).astype(np.float32)
+        got = np.asarray(scatter_rows_soa_pallas(
+            jnp.asarray(ids), jnp.asarray(g), N, cfg=cfg))
+        os.environ["RTT_SCATTER_LISTS"] = "0"
+        try:
+            want = np.asarray(scatter_rows_soa_pallas(
+                jnp.asarray(ids), jnp.asarray(g), N, cfg=cfg))
+        finally:
+            del os.environ["RTT_SCATTER_LISTS"]
+        np.testing.assert_array_equal(got, want, err_msg=name)
+        # dropped lanes (id == N) must not contribute
+        keep = np.asarray(ids) < N
+        ref = np.zeros((N, W), np.float32)
+        np.add.at(ref, np.asarray(ids)[keep], np.asarray(g).T[keep])
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5,
+                                   err_msg=name)
+
+
 def test_mxu_extraction_matches_sum():
     """extract="mxu" (one-hot contraction) must produce the same winner
     rows as the masked-sum extraction — exact: one nonzero per output."""
