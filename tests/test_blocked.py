@@ -204,8 +204,11 @@ def test_block_lists_match_dense_grid():
 
 
 def test_block_lists_helper_properties():
-    """_block_lists invariants: entered indices ascending and real, padding
-    repeats the last entry, zero-entry steps yield cnt=0."""
+    """_block_lists invariants: entered indices unique and real, padding
+    repeats the last entry, zero-entry steps yield cnt=0. The default
+    near-to-far order and the RTT_BLOCK_ORDER=id control must list the
+    SAME entered-block set per step; id mode is ascending."""
+    import os
     from ray_tracer_tpu.ops.pallas_intersect import _block_lists
     rng = np.random.default_rng(3)
     n_steps, step, n_blocks, TB = 4, 256, 6, 1024
@@ -219,15 +222,25 @@ def test_block_lists_helper_properties():
         c = rng.normal(size=3) * 6
         blk[k, 0:3], blk[k, 3:6] = c - 1.5, c + 1.5
     blk[5, 0:3], blk[5, 3:6] = np.inf, -np.inf   # padding block
-    bl, cnt = _block_lists(jnp.asarray(rays), jnp.asarray(blk), n_steps,
-                           step, n_blocks, TB, num_real_tris=5 * TB,
-                           t_min=1e-4)
+    args = (jnp.asarray(rays), jnp.asarray(blk), n_steps, step, n_blocks,
+            TB)
+    bl, cnt = _block_lists(*args, num_real_tris=5 * TB, t_min=1e-4)
+    os.environ["RTT_BLOCK_ORDER"] = "id"
+    try:
+        bl_id, cnt_id = _block_lists(*args, num_real_tris=5 * TB,
+                                     t_min=1e-4)
+    finally:
+        del os.environ["RTT_BLOCK_ORDER"]
     bl, cnt = np.asarray(bl), np.asarray(cnt)
+    bl_id, cnt_id = np.asarray(bl_id), np.asarray(cnt_id)
+    np.testing.assert_array_equal(cnt, cnt_id)
     assert cnt[0] == 0 and (bl[0] == 0).all()
     for i in range(n_steps):
         row, c = bl[i], cnt[i]
         assert (row[:c] < 5).all()                     # padding block never
-        assert (np.diff(row[:c]) > 0).all()            # ascending, unique
+        assert len(set(row[:c])) == c                  # unique
+        assert set(row[:c]) == set(bl_id[i][:c])       # same entered set
+        assert (np.diff(bl_id[i][:c]) > 0).all()       # id mode ascending
         if c:
             assert (row[c:] == row[c - 1]).all()       # repeat-pad
 
