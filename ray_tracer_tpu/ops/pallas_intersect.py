@@ -129,7 +129,10 @@ class KConfig(NamedTuple):
     tri_block: int = 8192            # 16384 stalls Mosaic compile (meas.)
     blocked: str = "auto"            # "auto" | "never" | "force"
     # ~12 MB keeps the teapot (15,744 padded tris = 8 MB of lane-padded
-    # planes) on the resident fast path; anything bigger streams
+    # planes) on the resident fast path; anything bigger streams. With
+    # vmem_limit raised past Mosaic's 16 MB default the resident kernel
+    # can hold proportionally more (RTT_VMEM_BUDGET + RTT_VMEM_LIMIT
+    # together move the resident/streaming crossover).
     vmem_tri_budget: int = 12 << 20
     # rays per grid step on the STREAMING path. Without block lists the
     # whole scene re-DMAs once per ray step, so big steps are essential
@@ -172,6 +175,13 @@ class KConfig(NamedTuple):
     # the block re-DMA), so a dead (step, block) visit costs one scalar
     # compare instead of DMA + slab machinery.
     block_lists: bool = True
+    # Mosaic scoped-VMEM budget for the STREAMING kernel, bytes (0 = the
+    # compiler's 16 MB default). The r2-r4 "tri_block >= 12288 stalls
+    # Mosaic" wall was actually a scoped-VMEM OOM (r5 diagnosis: AOT error
+    # "16.65M of 16.00M limit" at tri_block=12288) — fat blocks need a
+    # bigger budget, and v5e has 128 MB of VMEM per core. Raising the
+    # limit trades pipelining headroom for capacity; measure per shape.
+    vmem_limit: int = 0
 
 
 def env_config() -> KConfig:
@@ -198,6 +208,9 @@ def env_config() -> KConfig:
         blocked_step=int(os.environ.get("RTT_BLOCKED_STEP", d.blocked_step)),
         extract=os.environ.get("RTT_EXTRACT", d.extract),
         block_lists=os.environ.get("RTT_BLOCK_LISTS", "1") != "0",
+        vmem_limit=int(os.environ.get("RTT_VMEM_LIMIT", d.vmem_limit)),
+        vmem_tri_budget=int(os.environ.get("RTT_VMEM_BUDGET",
+                                           d.vmem_tri_budget)),
     )
 
 
@@ -968,6 +981,8 @@ def _nearest_hit_call(scene: Scene, o, d, t_min, alive, want_attrs,
             bytes_accessed=Rp * 8 * 4 + SP * 64 + TP * 128 + Rp * 8,
             transcendentals=0,
         ),
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=cfg.vmem_limit) if cfg.vmem_limit else None),
     )(*inputs)
 
     if want_attrs:
@@ -1537,6 +1552,8 @@ def _nearest_hit_blocked_call(scene: Scene, o, d, t_min, alive, want_attrs,
                         + n_steps * TPp * 128 * 4 + Rp * 8),
         transcendentals=0,
     )
+    cparams = (pltpu.CompilerParams(vmem_limit_bytes=cfg.vmem_limit)
+               if cfg.vmem_limit else None)
     if use_lists:
         bl, cnt = _block_lists(rays, blk, n_steps, step, n_blocks, TB,
                                scene.num_tris, float(t_min))
@@ -1552,6 +1569,7 @@ def _nearest_hit_blocked_call(scene: Scene, o, d, t_min, alive, want_attrs,
             out_shape=out_shape,
             interpret=interpret,
             cost_estimate=cost,
+            compiler_params=cparams,
         )(bl, cnt, rays, sph, tri, clu, *((sup,) if ss_b else ()), blk)
     else:
         outs = pl.pallas_call(
@@ -1563,6 +1581,7 @@ def _nearest_hit_blocked_call(scene: Scene, o, d, t_min, alive, want_attrs,
             scratch_shapes=scratch,
             interpret=interpret,
             cost_estimate=cost,
+            compiler_params=cparams,
         )(rays, sph, tri, clu, *((sup,) if ss_b else ()), blk)
 
     if want_attrs:
@@ -2141,6 +2160,8 @@ def _anyhit_call(scene: Scene, o, d, t_min, t_max, alive, interpret,
             bytes_accessed=Rp * 8 * 4 + SP * 64 + TP * 128 + Rp * 4,
             transcendentals=0,
         ),
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=cfg.vmem_limit) if cfg.vmem_limit else None),
     )(*inputs)
     return out[0, :R] > 0.5
 

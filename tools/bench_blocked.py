@@ -119,7 +119,8 @@ def main():
     import os
     knob_keys = ("RTT_TRI_BLOCK", "RTT_BLOCK_LISTS", "RTT_BLOCKED_STEP",
                  "RTT_SUPERS", "RTT_CLUSTER", "RTT_TRI_ROWS", "RTT_RT",
-                 "RTT_BLOCK_ORDER", "RTT_MT", "RTT_EXTRACT")
+                 "RTT_BLOCK_ORDER", "RTT_MT", "RTT_EXTRACT",
+                 "RTT_VMEM_LIMIT", "RTT_VMEM_BUDGET", "RTT_BLOCKED")
     saved_env = {k: os.environ.get(k) for k in knob_keys}
     for spec in (sys.argv[4].split(",") if len(sys.argv) > 4
                  else ("4096", "8192")):
