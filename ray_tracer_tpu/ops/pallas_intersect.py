@@ -182,6 +182,16 @@ class KConfig(NamedTuple):
     # bigger budget, and v5e has 128 MB of VMEM per core. Raising the
     # limit trades pipelining headroom for capacity; measure per shape.
     vmem_limit: int = 0
+    # Ray-STEP lists in the RESIDENT and any-hit kernels (r5): when the
+    # caller passes a wavefront liveness mask, grid visits ride a scalar-
+    # prefetch list of the steps containing ANY live lane; dead steps
+    # (75-96% of the grid on bounce 1-3 wavefronts — liveness collapses
+    # tile-coherently in the blocked pixel order) cost one scalar compare
+    # instead of the 2.9 us/step ray-DMA + pipeline floor that made every
+    # late-bounce launch cost ~5.8 ms regardless of liveness. Skipped
+    # steps' outputs are masked to the dead-lane values XLA-side (the
+    # wheres fuse into the consumers). RTT_STEP_LISTS=0 disables.
+    step_lists: bool = True
 
 
 def env_config() -> KConfig:
@@ -211,6 +221,7 @@ def env_config() -> KConfig:
         vmem_limit=int(os.environ.get("RTT_VMEM_LIMIT", d.vmem_limit)),
         vmem_tri_budget=int(os.environ.get("RTT_VMEM_BUDGET",
                                            d.vmem_tri_budget)),
+        step_lists=os.environ.get("RTT_STEP_LISTS", "1") != "0",
     )
 
 
@@ -519,7 +530,8 @@ def _min_fold_refs(t_pairs, valid, ids, bt_ref, bi_ref, lanes=slice(None)):
 
 def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
                  want_attrs: bool, cfg: KConfig, textured: bool = False,
-                 n_real_clu: int | None = None, has_spheres: bool = True):
+                 n_real_clu: int | None = None, has_spheres: bool = True,
+                 use_slists: bool = False):
     _validate_cfg(cfg)
     n_sph_chunks = SP // tt_s
     RT, csize = cfg.rt, cfg.cluster
@@ -536,7 +548,15 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
     # prepass/traversal (n_real_clu == 0)
     has_tris = n_real_clu > 0
 
-    def kernel(ray_ref, sph_ref, tri_ref, clu_ref, *outs_and_scratch):
+    def kernel(*refs):
+        # with use_slists (ray-step lists, r5) the grid rides a scalar-
+        # prefetch list of LIVE ray steps: visit i processes step sl[i],
+        # visits past cnt repeat the last live step (no re-DMA) and are
+        # fully gated off — outputs of skipped steps are masked to the
+        # dead-lane values (inf/0/zeros) XLA-side by the caller
+        if use_slists:
+            sl_ref, cnt_ref, *refs = refs
+        ray_ref, sph_ref, tri_ref, clu_ref, *outs_and_scratch = refs
         sup_ref = sup_flag_ref = acc_ref = None
         rest = list(outs_and_scratch)
         if ss:
@@ -877,19 +897,28 @@ def _make_kernel(SP: int, TP: int, t_min: float, tt_s: int,
                 jnp.where(best_id == BIG_ID, jnp.int32(0), best_id),
                 (8, RT))
 
-        if cfg.step_tiles <= 2:
-            # static unroll: constant lane offsets lower to static slices
-            # (cheaper scalar addressing, cross-tile pipelining); bounded
-            # at 2 because trace/lowering time scales with the unroll
-            # (measured 40 s -> 200+ s at step_tiles=4)
-            for _j in range(cfg.step_tiles):
-                one_tile(_j * RT)
-        else:
-            def tile_body(j, carry):
-                one_tile(j * RT)
-                return carry
+        def run_tiles():
+            if cfg.step_tiles <= 2:
+                # static unroll: constant lane offsets lower to static
+                # slices (cheaper scalar addressing, cross-tile
+                # pipelining); bounded at 2 because trace/lowering time
+                # scales with the unroll (measured 40 s -> 200+ s at
+                # step_tiles=4)
+                for _j in range(cfg.step_tiles):
+                    one_tile(_j * RT)
+            else:
+                def tile_body(j, carry):
+                    one_tile(j * RT)
+                    return carry
 
-            jax.lax.fori_loop(0, cfg.step_tiles, tile_body, 0)
+                jax.lax.fori_loop(0, cfg.step_tiles, tile_body, 0)
+
+        if use_slists:
+            @pl.when(pl.program_id(0) < cnt_ref[0])
+            def _():
+                run_tiles()
+        else:
+            run_tiles()
 
     return kernel
 
@@ -925,13 +954,24 @@ def _nearest_hit_call(scene: Scene, o, d, t_min, alive, want_attrs,
     TW = tri.shape[1]
     AR = _attr_rows(textured)
 
+    # Ray-step lists (KConfig.step_lists): only meaningful when the caller
+    # supplies a liveness mask (primary launches pass None or all-true).
+    use_slists = cfg.step_lists and alive is not None and n_steps >= 16
     kernel = _make_kernel(SP, TP, float(t_min), tt_s, want_attrs, cfg,
                           textured,
                           n_real_clu=-(-scene.num_tris // csize),
-                          has_spheres=scene.num_spheres > 0)
+                          has_spheres=scene.num_spheres > 0,
+                          use_slists=use_slists)
+
+    def ray_map(i, *s):
+        return (0, s[0][i]) if s else (0, i)
+
+    def fix_map(i, *s):
+        return (0, 0)
+
     out_specs = [
-        pl.BlockSpec((8, step), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, step), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, step), ray_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, step), ray_map, memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((8, Rp), jnp.float32),
@@ -946,44 +986,76 @@ def _nearest_hit_call(scene: Scene, o, d, t_min, alive, want_attrs,
         # super-padded cluster set when KConfig.supers is on)
     ]
     if want_attrs:
-        out_specs.append(pl.BlockSpec((AR, step), lambda i: (0, i),
+        out_specs.append(pl.BlockSpec((AR, step), ray_map,
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((AR, Rp), jnp.float32))
         scratch.append(pltpu.VMEM((AR, RT), jnp.float32))  # attr accum
 
     in_specs = [
-        pl.BlockSpec((8, step), lambda i: (0, i),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((SP, 16), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((TP, TW), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((clu.shape[0], 8), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, step), ray_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((SP, 16), fix_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TP, TW), fix_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((clu.shape[0], 8), fix_map, memory_space=pltpu.VMEM),
     ]
     inputs = [rays, sph, tri, clu]
     if ss:
-        in_specs.append(pl.BlockSpec((sup.shape[0], 8), lambda i: (0, 0),
+        in_specs.append(pl.BlockSpec((sup.shape[0], 8), fix_map,
                                      memory_space=pltpu.VMEM))
         inputs.append(sup)
         scratch.append(pltpu.VMEM((sup.shape[0], 128), jnp.int32))
 
-    outs = pl.pallas_call(
-        kernel,
-        grid=(n_steps,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=scratch,
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=Rp * (SP * 25 + TP * 45),
-            bytes_accessed=Rp * 8 * 4 + SP * 64 + TP * 128 + Rp * 8,
-            transcendentals=0,
-        ),
-        compiler_params=(pltpu.CompilerParams(
-            vmem_limit_bytes=cfg.vmem_limit) if cfg.vmem_limit else None),
-    )(*inputs)
+    cost = pl.CostEstimate(
+        flops=Rp * (SP * 25 + TP * 45),
+        bytes_accessed=Rp * 8 * 4 + SP * 64 + TP * 128 + Rp * 8,
+        transcendentals=0,
+    )
+    cparams = (pltpu.CompilerParams(vmem_limit_bytes=cfg.vmem_limit)
+               if cfg.vmem_limit else None)
+    if use_slists:
+        live = jnp.any(rays[6].reshape(n_steps, step) > 0.5, axis=1)
+        sidx = jnp.arange(n_steps, dtype=jnp.int32)
+        key = jnp.where(live, sidx, n_steps + sidx)
+        order = jnp.sort(key).astype(jnp.int32)
+        cnt = live.sum().astype(jnp.int32)[None]
+        entered = jnp.where(order < n_steps, order, 0)
+        last = entered[jnp.maximum(cnt[0] - 1, 0)]
+        sl = jnp.where(sidx < cnt[0], entered, last)
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(n_steps,),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=scratch,
+            ),
+            out_shape=out_shape,
+            interpret=interpret,
+            cost_estimate=cost,
+            compiler_params=cparams,
+        )(sl, cnt, *inputs)
+        # skipped steps' output blocks are unwritten memory: mask every
+        # lane of a dead step to the kernel's dead-tile values (inf /
+        # id 0 / zero rows — bit-identical to the dense grid). The wheres
+        # fuse into the elementwise consumers; live_lane is (Rp,).
+        live_lane = jnp.repeat(live, step)
+        outs = list(outs)
+        outs[0] = jnp.where(live_lane[None, :], outs[0], jnp.inf)
+        outs[1] = jnp.where(live_lane[None, :], outs[1], jnp.int32(0))
+        if want_attrs:
+            outs[2] = jnp.where(live_lane[None, :], outs[2], 0.0)
+    else:
+        outs = pl.pallas_call(
+            kernel,
+            grid=(n_steps,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            interpret=interpret,
+            cost_estimate=cost,
+            compiler_params=cparams,
+        )(*inputs)
 
     if want_attrs:
         t_out, id_out, attr_out = outs
@@ -1893,7 +1965,8 @@ def _use_blocked(scene: Scene, cfg: KConfig) -> bool:
 def _make_anyhit_kernel(SP: int, TP: int, t_min: float, t_max: float,
                         tt_s: int, cfg: KConfig,
                         n_real_clu: int | None = None,
-                        has_spheres: bool = True):
+                        has_spheres: bool = True,
+                        use_slists: bool = False):
     """Occlusion (shadow-ray) kernel: is ANY primitive in (t_min, t_max)
     along o + t*d? Early-exits per tile — unlike closest-hit there is no
     best-t to maintain, a single blocking hit settles a lane, and a tile
@@ -1911,6 +1984,8 @@ def _make_anyhit_kernel(SP: int, TP: int, t_min: float, t_max: float,
     def kernel(*refs):
         sup_ref = sup_flag_ref = None
         refs = list(refs)
+        if use_slists:
+            sl_ref, cnt_ref, *refs = refs     # ray-step lists (r5)
         if ss:
             ray_ref, sph_ref, tri_ref, clu_ref, sup_ref, out, blk_ref, \
                 flag_ref, sup_flag_ref = refs
@@ -2079,19 +2154,28 @@ def _make_anyhit_kernel(SP: int, TP: int, t_min: float, t_max: float,
 
             out[:, lanes] = jnp.broadcast_to(blk_ref[0:1, :], (8, RT))
 
-        if cfg.step_tiles <= 2:
-            # static unroll: constant lane offsets lower to static slices
-            # (cheaper scalar addressing, cross-tile pipelining); bounded
-            # at 2 because trace/lowering time scales with the unroll
-            # (measured 40 s -> 200+ s at step_tiles=4)
-            for _j in range(cfg.step_tiles):
-                one_tile(_j * RT)
-        else:
-            def tile_body(j, carry):
-                one_tile(j * RT)
-                return carry
+        def run_tiles():
+            if cfg.step_tiles <= 2:
+                # static unroll: constant lane offsets lower to static
+                # slices (cheaper scalar addressing, cross-tile
+                # pipelining); bounded at 2 because trace/lowering time
+                # scales with the unroll (measured 40 s -> 200+ s at
+                # step_tiles=4)
+                for _j in range(cfg.step_tiles):
+                    one_tile(_j * RT)
+            else:
+                def tile_body(j, carry):
+                    one_tile(j * RT)
+                    return carry
 
-            jax.lax.fori_loop(0, cfg.step_tiles, tile_body, 0)
+                jax.lax.fori_loop(0, cfg.step_tiles, tile_body, 0)
+
+        if use_slists:
+            @pl.when(pl.program_id(0) < cnt_ref[0])
+            def _():
+                run_tiles()
+        else:
+            run_tiles()
 
     return kernel
 
@@ -2122,19 +2206,24 @@ def _anyhit_call(scene: Scene, o, d, t_min, t_max, alive, interpret,
     if ss:
         clu, sup = _pad_clusters_for_supers(clu, ss)
 
+    use_slists = cfg.step_lists and alive is not None and n_steps >= 16
     kernel = _make_anyhit_kernel(SP, TP, float(t_min), float(t_max), tt_s,
                                  cfg,
                                  n_real_clu=-(-scene.num_tris // csize),
-                                 has_spheres=scene.num_spheres > 0)
+                                 has_spheres=scene.num_spheres > 0,
+                                 use_slists=use_slists)
+
+    def ray_map(i, *s):
+        return (0, s[0][i]) if s else (0, i)
+
+    def fix_map(i, *s):
+        return (0, 0)
+
     in_specs = [
-        pl.BlockSpec((8, step), lambda i: (0, i),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((SP, 16), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((TP, tri.shape[1]), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((clu.shape[0], 8), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, step), ray_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((SP, 16), fix_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TP, tri.shape[1]), fix_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((clu.shape[0], 8), fix_map, memory_space=pltpu.VMEM),
     ]
     inputs = [rays, sph, tri, clu]
     scratch = [
@@ -2142,27 +2231,59 @@ def _anyhit_call(scene: Scene, o, d, t_min, t_max, alive, interpret,
         pltpu.VMEM((clu.shape[0], 128), jnp.int32),  # cluster flags
     ]
     if ss:
-        in_specs.append(pl.BlockSpec((sup.shape[0], 8), lambda i: (0, 0),
+        in_specs.append(pl.BlockSpec((sup.shape[0], 8), fix_map,
                                      memory_space=pltpu.VMEM))
         inputs.append(sup)
         scratch.append(pltpu.VMEM((sup.shape[0], 128), jnp.int32))
-    out = pl.pallas_call(
-        kernel,
-        grid=(n_steps,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((8, step), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, Rp), jnp.float32),
-        scratch_shapes=scratch,
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=Rp * (SP * 25 + TP * 45) // 4,
-            bytes_accessed=Rp * 8 * 4 + SP * 64 + TP * 128 + Rp * 4,
-            transcendentals=0,
-        ),
-        compiler_params=(pltpu.CompilerParams(
-            vmem_limit_bytes=cfg.vmem_limit) if cfg.vmem_limit else None),
-    )(*inputs)
+    out_spec = pl.BlockSpec((8, step), ray_map, memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((8, Rp), jnp.float32)
+    cost = pl.CostEstimate(
+        flops=Rp * (SP * 25 + TP * 45) // 4,
+        bytes_accessed=Rp * 8 * 4 + SP * 64 + TP * 128 + Rp * 4,
+        transcendentals=0,
+    )
+    cparams = (pltpu.CompilerParams(vmem_limit_bytes=cfg.vmem_limit)
+               if cfg.vmem_limit else None)
+    if use_slists:
+        # shadow wavefronts are the sparsest launches of all (nee_lane
+        # liveness); same step-list scheme as the closest-hit kernel,
+        # skipped steps mask to un-blocked
+        live = jnp.any(rays[6].reshape(n_steps, step) > 0.5, axis=1)
+        sidx = jnp.arange(n_steps, dtype=jnp.int32)
+        key = jnp.where(live, sidx, n_steps + sidx)
+        order = jnp.sort(key).astype(jnp.int32)
+        cnt = live.sum().astype(jnp.int32)[None]
+        entered = jnp.where(order < n_steps, order, 0)
+        last = entered[jnp.maximum(cnt[0] - 1, 0)]
+        sl = jnp.where(sidx < cnt[0], entered, last)
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(n_steps,),
+                in_specs=in_specs,
+                out_specs=out_spec,
+                scratch_shapes=scratch,
+            ),
+            out_shape=out_shape,
+            interpret=interpret,
+            cost_estimate=cost,
+            compiler_params=cparams,
+        )(sl, cnt, *inputs)
+        live_lane = jnp.repeat(live, step)
+        out = jnp.where(live_lane[None, :], out, 0.0)
+    else:
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_steps,),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            interpret=interpret,
+            cost_estimate=cost,
+            compiler_params=cparams,
+        )(*inputs)
     return out[0, :R] > 0.5
 
 

@@ -92,6 +92,44 @@ def test_alive_mask_dead_lanes_miss():
                                t_ref[0::2][np.isfinite(t[0::2])], rtol=3e-4)
 
 
+def test_step_lists_match_dense_grid():
+    """Ray-step lists (r5: the closest-hit/any-hit grids skip steps with
+    no live lane via scalar prefetch) must reproduce the dense grid
+    BIT-FOR-BIT at every occupancy: sparse whole-step liveness (most
+    steps skipped), mixed, all-live, and all-dead wavefronts. Skipped
+    steps' outputs must be the dead-lane values (inf t / id 0 / blocked
+    False), exactly as the dense kernel emits them."""
+    from ray_tracer_tpu.ops.pallas_intersect import (
+        KConfig, anyhit_pallas, nearest_hit_attrs_pallas)
+    scene, _ = rt.builtin_scene("room", pad=128)
+    cfg = KConfig(rt=128, step_tiles=1)          # 24 steps at R=3072
+    cfg_dense = cfg._replace(step_lists=False)
+    R = 3072
+    o, d = _random_rays(R, seed=21, spread=3.0)
+    rng = np.random.default_rng(22)
+    cases = {
+        "sparse": np.repeat(rng.random(R // 128) < 0.15, 128),
+        "mixed": rng.random(R) < 0.4,
+        "all-live": np.ones(R, bool),
+        "all-dead": np.zeros(R, bool),
+    }
+    for name, alive_np in cases.items():
+        alive = jnp.asarray(alive_np)
+        got = nearest_hit_attrs_pallas(scene, o, d, alive=alive,
+                                       interpret=INTERPRET, cfg=cfg)
+        want = nearest_hit_attrs_pallas(scene, o, d, alive=alive,
+                                        interpret=INTERPRET, cfg=cfg_dense)
+        for g, w, field in zip(got, want, ("t", "id", "rows")):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w),
+                                          err_msg=f"{name}:{field}")
+        gb = anyhit_pallas(scene, o, d, alive=alive, interpret=INTERPRET,
+                           cfg=cfg)
+        wb = anyhit_pallas(scene, o, d, alive=alive, interpret=INTERPRET,
+                           cfg=cfg_dense)
+        np.testing.assert_array_equal(np.asarray(gb), np.asarray(wb),
+                                      err_msg=f"{name}:anyhit")
+
+
 def test_morton_sort_preserves_images():
     verts = np.random.default_rng(11).normal(size=(60, 3, 3)) * 3
     def build(sort):
