@@ -194,6 +194,39 @@ def pull_back_vertex_grads(topo: MeshTopology, tri_grads: dict,
     return g
 
 
+def laplacian_apply(topo: MeshTopology, x) -> jax.Array:
+    """Combinatorial graph Laplacian over physical edges, per component:
+    (L x)_i = Σ_{j∈N(i)} (x_i − x_j). Matrix-free (two scatter-adds)."""
+    d = x[topo.edge_va] - x[topo.edge_vb]
+    out = jnp.zeros_like(x)
+    out = out.at[topo.edge_va].add(d)
+    out = out.at[topo.edge_vb].add(-d)
+    return out
+
+
+def sobolev_precondition(topo: MeshTopology, g, lam, iters: int = 20):
+    """Diffuse a vertex gradient through (I + λL)⁻¹ by matrix-free CG.
+
+    Laplacian-preconditioned ("Sobolev") descent — the technique of
+    "Large Steps in Inverse Rendering of Geometry" (Nicolet et al. 2021):
+    raw image-loss gradients on a dense mesh are spatially rough, so
+    first-order descent crumples the surface into high-frequency local
+    minima long before the large-scale error modes move. Solving
+    (I + λL) p = g re-expresses the step in a smoother Sobolev metric:
+    low-frequency modes keep their magnitude while rough components are
+    damped by ~1/(1+λ·spectrum), and p stays a descent direction because
+    the operator is SPD. λ is dimensionless (combinatorial L); 0 returns
+    g untouched."""
+    if not lam:
+        return g
+
+    def mv(p):
+        return p + lam * laplacian_apply(topo, p)
+
+    p, _ = jax.scipy.sparse.linalg.cg(mv, g, x0=g, maxiter=iters)
+    return p
+
+
 def dirichlet_energy(topo: MeshTopology, offsets) -> jax.Array:
     """Graph-Laplacian smoothness prior on a vertex field: mean squared
     field GRADIENT across physical edges — ‖δ_i − δ_j‖² normalized by the
